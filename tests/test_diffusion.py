@@ -1,0 +1,206 @@
+"""Diffusion core tests: schedule golden values, q/p identities, samplers,
+conditioning semantics, guidance plumbing."""
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wdno_tpu.core import schedules as S
+from wdno_tpu.core.conditioning import (
+    burgers_wavelet_spec,
+    burgers_raw_spec,
+    smoke_spec,
+)
+from wdno_tpu.core.diffusion import GaussianDiffusion, GuidanceConfig
+
+
+def _torch_cosine_betas(T, s=0.008):
+    """Independent oracle in torch (the reference's numerics substrate)."""
+    steps = T + 1
+    x = torch.linspace(0, T, steps, dtype=torch.float64)
+    acp = torch.cos(((x / T) + s) / (1 + s) * torch.pi * 0.5) ** 2
+    acp = acp / acp[0]
+    betas = 1 - (acp[1:] / acp[:-1])
+    return torch.clip(betas, 0, 0.999).numpy()
+
+
+def test_cosine_schedule_matches_torch_oracle():
+    np.testing.assert_allclose(
+        S.cosine_beta_schedule(1000), _torch_cosine_betas(1000), rtol=1e-12
+    )
+
+
+def test_linear_schedule_endpoints():
+    b = S.linear_beta_schedule(1000)
+    assert abs(b[0] - 1e-4) < 1e-12 and abs(b[-1] - 0.02) < 1e-12
+
+
+def test_sigmoid_schedule_monotone_and_bounded():
+    b = S.sigmoid_beta_schedule(1000)
+    assert b.shape == (1000,)
+    assert (b > 0).all() and (b <= 0.999).all()
+    acp = np.cumprod(1 - b)
+    assert acp[-1] < 1e-3  # fully noised at T
+
+
+@pytest.mark.parametrize("objective", ["pred_noise", "pred_x0", "pred_v"])
+def test_q_identities(objective):
+    sched = S.make_schedule("cosine", 100, objective=objective)
+    gd = GaussianDiffusion(lambda p, x, t: x, sched, state_shape=(8, 8, 2), objective=objective)
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (4, 8, 8, 2))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 2))
+    t = jnp.array([0, 10, 50, 99])
+    xt = gd.q_sample(x0, t, noise)
+    # invert: x0 from (xt, noise); f32 error amplified by 1/sqrt(acp_t) at
+    # large t, hence the loose atol
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_start_from_noise(xt, t, noise)), np.asarray(x0), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_noise_from_start(xt, t, x0)), np.asarray(noise), atol=2e-3
+    )
+    v = gd.predict_v(x0, t, noise)
+    np.testing.assert_allclose(
+        np.asarray(gd.predict_start_from_v(xt, t, v)), np.asarray(x0), atol=2e-3
+    )
+
+
+def test_posterior_at_t0_is_x_start():
+    sched = S.make_schedule("cosine", 100)
+    gd = GaussianDiffusion(lambda p, x, t: x, sched, state_shape=(4, 4, 1))
+    x0 = jnp.ones((2, 4, 4, 1))
+    xt = 0.3 * jnp.ones((2, 4, 4, 1))
+    mean, var, _ = gd.q_posterior(x0, xt, jnp.array([0, 0]))
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(x0), atol=1e-5)
+    assert float(var.max()) < 1e-6
+
+
+def test_burgers_wavelet_spec_contract():
+    spec = burgers_wavelet_spec(
+        (64, 64, 9),
+        (41, 60),
+        is_condition_u0=True,
+        is_condition_uT=True,
+        is_condition_f=True,
+    )
+    c, p = spec.cond_mask, spec.pad_mask
+    assert c[:41, :60, 4:8].all() and not c[:, :, 0:4].any()
+    assert c[:, :60, 8].all()  # u0 rows 0:32 + uT rows 32:64 cover all rows
+    assert p[41:, :, 0].all()
+    assert not p[41:, :60, 8].any()  # last channel exempt from ROW pad (cond there)
+    assert p[:, 60:, 0].all() and p[:, 60:, 8].all()  # col pad hits every channel
+    assert (c * p).max() == 0
+    # apply clamps conditioned entries to values and pad to zero
+    x = jnp.ones((2, 64, 64, 9))
+    vals = 5.0 * jnp.ones((2, 64, 64, 9))
+    out = np.asarray(spec.apply(x, vals))
+    assert (out[:, :41, :60, 4:8] == 5.0).all()
+    assert (out[:, 50, :, 0] == 0.0).all()
+    assert (out[:, :41, :60, 0] == 1.0).all()
+
+
+def test_burgers_raw_spec_contract():
+    spec = burgers_raw_spec((128, 128, 2), (81, 120), is_condition_u0=True, is_condition_f=True)
+    c = spec.cond_mask
+    assert c[0, :120, 0].all() and not c[1:, :, 0].any()
+    assert c[:80, :120, 1].all() and not c[80:, :, 1].any()
+    assert spec.pad_mask[81:, :, 0].all() and spec.pad_mask[80:, :, 1].all()
+
+
+def test_smoke_spec_contract():
+    spec = smoke_spec((24, 40, 40, 42), (18, 34, 34), is_condition_control=True)
+    c, p = spec.cond_mask, spec.pad_mask
+    assert c[..., 40].all()  # init channel fully conditioned
+    assert c[..., 24:40].all()
+    assert not c[..., :24].any() and not c[..., 41].any()
+    assert p[18:, :, :, 0].all() and p[18:, :, :, 41].all()
+    assert not p[18:, :, :, 40].any()  # init channel exempt
+    assert p[:, 34:, :, 0].all() and p[:, :, 34:, 0].all()
+    assert not p[:18, 34:, :, 41].any()  # smoke-out channel exempt from spatial pad
+    assert (c * p).max() == 0
+
+
+def _tiny_gd(spec=None, steps=None, T=20):
+    sched = S.make_schedule("cosine", T)
+    # "model" predicts zero noise -> x_start = xt / sqrt(acp_t)
+    model = lambda p, x, t: jnp.zeros_like(x)
+    return GaussianDiffusion(
+        model, sched, state_shape=(8, 8, 3), spec=spec, sampling_timesteps=steps
+    )
+
+
+def test_ddim_sampler_respects_conditioning():
+    spec = burgers_wavelet_spec((8, 8, 3), (6, 6), is_condition_u0=True, is_condition_uT=True)
+    gd = _tiny_gd(spec=spec, steps=10)
+    cond = 7.0 * jnp.ones((2, 8, 8, 3))
+    out = np.asarray(
+        gd.ddim_sample(None, jax.random.PRNGKey(0), 2, cond_values=cond)
+    )
+    assert out.shape == (2, 8, 8, 3)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out[:, :, :6, 2], 7.0)  # conditioned channel
+    np.testing.assert_allclose(out[:, 6:, :, 0], 0.0)  # padded rows
+    np.testing.assert_allclose(out[:, :, 6:, :], 0.0)  # padded cols
+
+
+def test_ddpm_sampler_runs_and_is_finite():
+    gd = _tiny_gd()
+    out = np.asarray(gd.p_sample_loop(None, jax.random.PRNGKey(1), 2))
+    assert out.shape == (2, 8, 8, 3) and np.isfinite(out).all()
+    # zero-noise model with clip -> final x_start bounded
+    assert np.abs(out).max() <= 1.0 + 1e-5
+
+
+def test_guidance_shifts_samples():
+    gd = _tiny_gd(steps=10)
+    target = 0.5
+    guid = GuidanceConfig(
+        grad_fn=jax.grad(lambda x: jnp.sum((x - target) ** 2)), weight=0.1
+    )
+    rng = jax.random.PRNGKey(2)
+    base = np.asarray(gd.ddim_sample(None, rng, 4))
+    guided = np.asarray(gd.ddim_sample(None, rng, 4, guidance=guid))
+    # guidance with +grad of squared distance pushes eps-hat up -> x_start down;
+    # just assert it changes the output deterministically and stays finite
+    assert np.isfinite(guided).all()
+    assert np.abs(guided - base).max() > 1e-4
+
+
+def test_p_losses_masks_conditioned_channels():
+    spec = burgers_wavelet_spec((8, 8, 3), (6, 6), is_condition_f=False, is_condition_u0=True)
+    sched = S.make_schedule("cosine", 50)
+
+    # model that predicts exactly zero: loss = E[(0 - masked_noise)^2]
+    gd = GaussianDiffusion(
+        lambda p, x, t: jnp.zeros_like(x), sched, state_shape=(8, 8, 3), spec=spec
+    )
+    rng = jax.random.PRNGKey(3)
+    x0 = jax.random.normal(rng, (16, 8, 8, 3))
+    t = jnp.zeros((16,), jnp.int32)
+    loss = float(gd.p_losses(None, jax.random.PRNGKey(4), x0, t))
+    # keep fraction: conditioned u0 region (4 rows x 6 cols of ch2) + pads removed
+    keep = spec.keep_mask.mean()
+    assert 0 < loss < 1.5 * keep + 0.2
+
+
+def test_loss_decreases_with_perfect_model():
+    """A model that returns the true noise would need the noise; instead check
+    pred_x0 objective with identity-ish model gives smaller loss than zero model."""
+    sched = S.make_schedule("cosine", 50, objective="pred_x0")
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (8, 8, 8, 3))
+    t = jnp.full((8,), 5, jnp.int32)
+
+    gd_zero = GaussianDiffusion(
+        lambda p, x, t_: jnp.zeros_like(x), sched, state_shape=(8, 8, 3), objective="pred_x0"
+    )
+    # cheating "perfect" model closure that returns the clean x0
+    gd_perfect = GaussianDiffusion(
+        lambda p, x, t_: x0, sched, state_shape=(8, 8, 3), objective="pred_x0"
+    )
+    rngs = jax.random.PRNGKey(6)
+    l0 = float(gd_zero.p_losses(None, rngs, x0, t))
+    lp = float(gd_perfect.p_losses(None, rngs, x0, t))
+    assert lp < 1e-9 < l0
