@@ -1,0 +1,99 @@
+"""Benchmark: flagship denoiser training-step throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric is denoise train steps/sec/chip for the smoke base model at the
+published configuration (UNet3D dim=64, mults (1,2,4), 42 channels,
+state [24, 40, 40], batch 6, full loss+grad+Adam+EMA step — reference
+trains this on 2x GPU DDP with per-device batch 3,
+``scripts/smoke/train_base_sim.sh``).
+
+``vs_baseline``: the reference repo publishes no numbers (BASELINE.md), so
+the baseline is an analytic A100 estimate derived from the measured model
+FLOPs: step_time_A100 = 3 * fwd_flops / (312 TFLOP/s * 0.35 MFU) — i.e.
+an optimistic torch A100 at 35% MFU.  vs_baseline = est_A100_time /
+measured_time (>1 means faster than the A100 estimate).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from wdno_tpu.core.conditioning import smoke_spec
+    from wdno_tpu.core.diffusion import GaussianDiffusion
+    from wdno_tpu.core.schedules import make_schedule
+    from wdno_tpu.data.rescalers import smoke_wavelet_rescaler
+    from wdno_tpu.models.unet3d import UNet3D
+    from wdno_tpu.train.state import TrainConfig, create_train_state
+    from wdno_tpu.train.trainer import make_train_step
+
+    B, F, H, Wd, C = 6, 24, 40, 40, 42
+    state_shape = (F, H, Wd, C)
+    model = UNet3D(dim=64, dim_mults=(1, 2, 4), channels=C, dtype=jnp.bfloat16)
+
+    x = jnp.zeros((B,) + state_shape, jnp.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+
+    spec = smoke_spec(state_shape, (18, 34, 34), is_condition_control=True)
+    sched = make_schedule("sigmoid", 1000)
+    gd = GaussianDiffusion(
+        model.apply,
+        sched,
+        state_shape=state_shape,
+        spec=spec,
+        loss_channel_weight=smoke_wavelet_rescaler("bior1.3"),
+    )
+    cfg = TrainConfig(learning_rate=1e-3, lr_schedule="multistep")
+    tstate = create_train_state(params, cfg)
+    step = jax.jit(make_train_step(gd, cfg), donate_argnums=(0,))
+
+    rng = jax.random.PRNGKey(0)
+    batch = jax.random.normal(jax.random.PRNGKey(1), (B,) + state_shape, jnp.float32)
+
+    # fwd FLOPs for the A100 baseline estimate
+    fwd = jax.jit(model.apply)
+    try:
+        cost = fwd.lower(params, x, t).compile().cost_analysis()
+        fwd_flops = float(cost.get("flops", 0.0))
+    except Exception:
+        fwd_flops = 0.0
+
+    # warmup/compile
+    tstate, m = step(tstate, batch, rng)
+    jax.block_until_ready(m["loss"])
+
+    iters = 20
+    t0 = time.time()
+    for i in range(iters):
+        rng, sub = jax.random.split(rng)
+        tstate, m = step(tstate, batch, sub)
+    jax.block_until_ready(m["loss"])
+    dt = (time.time() - t0) / iters
+
+    steps_per_sec = 1.0 / dt
+    if fwd_flops > 0:
+        a100_step = 3.0 * fwd_flops / (312e12 * 0.35)
+        vs_baseline = a100_step / dt
+    else:
+        vs_baseline = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "smoke_base_train_steps_per_sec_per_chip",
+                "value": round(steps_per_sec, 4),
+                "unit": "steps/s",
+                "vs_baseline": round(vs_baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,247 @@
+"""Burgers dataset: generation, wavelet-coefficient prep, training states.
+
+Replaces the reference's three-stage pipeline —
+``generate_burgers.py`` (GPU solve -> torch pickles), ``wave_trans.py``
+(offline DWT -> coef blob) and ``data_burgers_1d.py`` (per-epoch preprocess)
+— with jitted JAX generation and a single packed channels-last state array
+per resolution, stored as plain ``.npy`` (memory-mappable; fixes the
+reference's per-item ``torch.load`` I/O on the smoke side and keeps Burgers
+fully vectorized).
+
+State layout ``[N, 64, 64, C]``: channels 0:4 u bands (ll, ad, da, dd),
+4:8 f bands, [8:16 low-res bands for super], last channel packed u0/uT
+condition rows (reference ``data_burgers_1d.py:20-87``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import wavelet as W
+from ..ops import packing as P
+from ..solvers.burgers import burgers_solve, make_data_varying_f
+from .rescalers import burgers_wavelet_rescaler
+
+__all__ = [
+    "generate_burgers_dataset",
+    "build_coef_levels",
+    "build_training_states",
+    "BurgersWaveletDataset",
+]
+
+
+def generate_burgers_dataset(
+    seed: int,
+    num_samples: int,
+    *,
+    nt: int = 80,
+    nx: int = 120,
+    super_factor: int = 16,
+    T: float = 8.0,
+    batch_size: int = 256,
+    alpha: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """Generate ``{u: [N, nt+1, nx], f: [N, nt, nx]}`` with the reference's
+    data distribution and solver precision (16x space-time,
+    ``scripts/burgers/burgers_data.sh``)."""
+    s = nx * super_factor
+    t_f = nt * super_factor
+    dt = 1.0 / 76800
+    rng = jax.random.PRNGKey(seed)
+    us, fs = [], []
+    solve = jax.jit(
+        lambda u0, f: burgers_solve(u0, f, T=T, num_t=nt, dt=dt, s=s)
+    )
+    n_batches = math.ceil(num_samples / batch_size)
+    for i in range(n_batches):
+        rng, sub = jax.random.split(rng)
+        bs = min(batch_size, num_samples - i * batch_size)
+        u0, f = make_data_varying_f(sub, bs, bs, s=s, t=t_f, alpha=alpha)
+        traj = solve(u0, f)  # [bs, nt+1, nx] (space downsampled by solver)
+        us.append(np.asarray(traj))
+        fs.append(np.asarray(f[:, :: t_f // nt, :: s // nx]))
+    return {"u": np.concatenate(us), "f": np.concatenate(fs)}
+
+
+def build_coef_levels(
+    u: np.ndarray,
+    f: np.ndarray,
+    *,
+    wave_type: str = "bior2.4",
+    pad_mode: str = "periodization",
+    n_downsample: int = 4,
+    batch: int = 4096,
+) -> Dict:
+    """Level-1 DWT of [u; f] at dyadic downsamplings.
+
+    Mirrors the reference's offline prep (``wave_trans.py:66-127``): stack
+    u [N, nt+1, nx] and zero-extended f into X [N, 2, nt+1, nx]; for each
+    level i, transform X[..., ::2^i, ::2^i].
+
+    Returns ``{"coef": [level -> [N, nt_i, nx_i, 8]], "shape": [...],
+    "ori_shape": [...]}`` with channels (u_ll, u_ad, u_da, u_dd, f_ll,
+    f_ad, f_da, f_dd).
+    """
+    N, nt1, nx = u.shape
+    f_ext = np.concatenate([f, np.zeros((N, nt1 - f.shape[1], nx), f.dtype)], axis=1)
+    X = np.stack([u, f_ext], axis=1)  # [N, 2, nt+1, nx]
+
+    dwt = jax.jit(
+        lambda x: P.pack2d(*W.dwt2d(x, wave_type, pad_mode)),
+        static_argnums=(),
+    )
+    levels, shapes, oris = [], [], []
+    for i in range(n_downsample):
+        Xs = X[:, :, :: 2**i, :: 2**i]
+        outs = []
+        for j in range(0, N, batch):
+            packed = np.asarray(dwt(jnp.asarray(Xs[j : j + batch])))  # [b,2,ht,wx,4]
+            # -> [b, ht, wx, 8] with u bands then f bands
+            b, c2, ht, wx, nb = packed.shape
+            outs.append(
+                packed.transpose(0, 2, 3, 1, 4).reshape(b, ht, wx, c2 * nb)
+            )
+        arr = np.concatenate(outs)
+        levels.append(arr)
+        shapes.append(list(arr.shape[1:3]))
+        oris.append([Xs.shape[2], Xs.shape[3]])
+    return {"coef": levels, "shape": shapes, "ori_shape": oris}
+
+
+def _condition_channel(
+    coef8: np.ndarray,
+    ori_shape: Tuple[int, int],
+    pad_t: int,
+    pad_x: int,
+    *,
+    wave_type: str,
+    pad_mode: str,
+    is_condition_u0: bool,
+    is_condition_uT: bool,
+    batch: int = 4096,
+) -> np.ndarray:
+    """Build the packed u0/uT condition channel.
+
+    Reference ``data_burgers_1d.py:65-82``: inverse-transform the u/f bands
+    to physical u, level-1 1D-DWT rows u[0] and u[-1], tile each coefficient
+    row over ``pad_t/4`` rows: [Yl(u0); Yh(u0); Yl(uT); Yh(uT)].
+    """
+    N = coef8.shape[0]
+    nt, nx = coef8.shape[1:3]
+    ori_t, ori_x = ori_shape
+
+    def make(chunk):
+        u_bands = chunk[..., 0:4]
+        f_bands = chunk[..., 4:8]
+        stacked = jnp.stack([u_bands, f_bands], axis=1)  # [b,2,nt,nx,4]
+        aa, det = P.unpack2d(stacked)
+        uf = W.idwt2d(aa, det, wave_type, pad_mode)[:, :, :ori_t, :ori_x]
+        u = uf[:, 0]
+        rows = u[:, jnp.asarray([0, ori_t - 1]), :]  # [b, 2, ori_x]
+        a, d = W.dwt1d(rows, wave_type, pad_mode, axis=-1)  # [b,2,nx']
+        n_rep = pad_t // 4
+        blocks = [a[:, 0], d[:, 0][..., None, :], a[:, 1], d[:, 1]]
+        cond = jnp.zeros((chunk.shape[0], pad_t, pad_x))
+        segs = [a[:, 0], d[:, 0], a[:, 1], d[:, 1]]
+        for i, seg in enumerate(segs):
+            tile = jnp.repeat(seg[:, None, :], n_rep, axis=1)
+            cond = cond.at[:, i * n_rep : (i + 1) * n_rep, : seg.shape[-1]].set(tile)
+        return cond
+
+    make_j = jax.jit(make)
+    outs = []
+    for j in range(0, N, batch):
+        outs.append(np.asarray(make_j(jnp.asarray(coef8[j : j + batch]))))
+    cond = np.concatenate(outs)
+    if not is_condition_u0:
+        cond[:, : 2 * (pad_t // 4)] = 0
+    if not is_condition_uT:
+        cond[:, 2 * (pad_t // 4) :] = 0
+    return cond[..., None]  # [N, pad_t, pad_x, 1]
+
+
+def build_training_states(
+    db: Dict,
+    *,
+    level: int = 0,
+    is_super_model: bool = False,
+    wave_type: str = "bior2.4",
+    pad_mode: str = "periodization",
+    is_condition_u0: bool = True,
+    is_condition_uT: bool = False,
+    rescaler: Optional[np.ndarray] = None,
+    max_samples: int = 40000,
+) -> Tuple[np.ndarray, List[int], List[int]]:
+    """Packed, padded, rescaled states for one resolution level.
+
+    Equivalent of ``get_wavelet_super_preprocess`` (``data_burgers_1d.py:
+    20-87``).  Returns (states [N, pad, pad, C], coef_shape, ori_shape).
+    """
+    coef = db["coef"][level][:max_samples]
+    N = coef.shape[0]
+    nt, nx = coef.shape[1:3]
+    ori_t = math.ceil(db["ori_shape"][0][0] / 2**level)
+    ori_x = math.ceil(db["ori_shape"][0][1] / 2**level)
+    pad = 64 // 2**level
+
+    data = P.pad_to(coef, (pad, pad), axes=(1, 2))  # [N, pad, pad, 8]
+
+    if is_super_model:
+        sub = db["coef"][level + 1][:max_samples]
+        low = P.upsample_coef2d(sub, axes=(1, 2))[:, :nt, :nx]
+        # repeat the last valid coefficient row (odd timestep count,
+        # reference data_burgers_1d.py:61)
+        data[:, nt, :, :] = data[:, nt - 1, :, :]
+        low = P.pad_to(low, (pad, pad), axes=(1, 2))
+        data = np.concatenate([data, np.asarray(low)], axis=-1)
+
+    if is_condition_u0 or is_condition_uT:
+        cond = _condition_channel(
+            coef,
+            (ori_t, ori_x),
+            pad,
+            pad,
+            wave_type=wave_type,
+            pad_mode=pad_mode,
+            is_condition_u0=is_condition_u0,
+            is_condition_uT=is_condition_uT,
+        )
+        data = np.concatenate([data, cond], axis=-1)
+
+    if rescaler is None:
+        rescaler = burgers_wavelet_rescaler(
+            wave_type,
+            pad_mode,
+            is_super_model=is_super_model,
+            has_condition_channel=is_condition_u0 or is_condition_uT,
+        )
+    data = (data / rescaler.reshape(1, 1, 1, -1)).astype(np.float32)
+    return data, [nt, nx], [ori_t, ori_x]
+
+
+@dataclasses.dataclass
+class BurgersWaveletDataset:
+    """In-memory multi-resolution dataset with SuperDataLoader-style batch
+    mixing (reference ``data_burgers_1d.py:243-254``: each batch drawn
+    entirely from one random resolution level)."""
+
+    states: List[np.ndarray]  # one array per level
+    coef_shapes: List[List[int]]
+    ori_shapes: List[List[int]]
+    rescaler: np.ndarray
+
+    def iter_batches(self, batch_size: int, seed: int = 0):
+        rng = np.random.default_rng(seed)
+        n_levels = len(self.states)
+        while True:
+            lvl = rng.integers(n_levels) if n_levels > 1 else 0
+            arr = self.states[lvl]
+            idx = rng.integers(arr.shape[0], size=batch_size)
+            yield lvl, arr[idx]

@@ -1,0 +1,260 @@
+"""Shared flax building blocks for the denoiser U-Nets.
+
+Channels-last (TPU-native) re-design of the reference's torch modules
+(``burgers/ddpm_burgers/unet.py:18-259``,
+``smoke/video_diffusion_pytorch/video_diffusion_pytorch_conv3d.py:74-353``):
+GroupNorm+SiLU resnet blocks with FiLM time conditioning, linear and full
+attention, sinusoidal time embeddings, rotary embeddings and bucketed
+relative position bias for temporal attention.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+Array = jnp.ndarray
+Dtype = Any
+
+
+def sinusoidal_pos_emb(t: Array, dim: int, theta: float = 10000.0) -> Array:
+    """[B] timesteps -> [B, dim] embedding (reference ``unet.py:82-108``)."""
+    half = dim // 2
+    emb = math.log(theta) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half) * -emb)
+    ang = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+
+
+class TimeMLP(nn.Module):
+    """Sinusoidal embedding -> Dense -> GELU -> Dense (reference ``unet.py:301-306``)."""
+
+    dim: int
+    time_dim: int
+    theta: float = 10000.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        x = sinusoidal_pos_emb(t, self.dim, self.theta)
+        x = nn.Dense(self.time_dim, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.time_dim, dtype=self.dtype)(x)
+
+
+class ChannelLayerNorm(nn.Module):
+    """Bias-free LayerNorm over the channel axis (reference ``unet.py:55-65``)."""
+
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        mean = xf.mean(axis=-1, keepdims=True)
+        var = xf.var(axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * g
+        return out.astype(self.dtype)
+
+
+class ChannelRMSNorm(nn.Module):
+    """L2-normalize channels * g * sqrt(C) (reference ``unet.py:47-53``)."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        norm = jnp.sqrt(jnp.sum(xf**2, axis=-1, keepdims=True) + 1e-12)
+        out = xf / norm * g * math.sqrt(x.shape[-1])
+        return out.astype(self.dtype)
+
+
+class ConvBlock(nn.Module):
+    """Conv(k3) -> GroupNorm -> FiLM -> SiLU over any spatial rank
+    (reference ``unet.py:129-148`` / ``conv3d.py:189-204``)."""
+
+    dim_out: int
+    groups: int = 8
+    spatial_rank: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
+        k = (3,) * self.spatial_rank
+        x = nn.Conv(self.dim_out, k, padding="SAME", dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            bshape = (scale.shape[0],) + (1,) * self.spatial_rank + (scale.shape[-1],)
+            x = x * (scale.reshape(bshape) + 1) + shift.reshape(bshape)
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two ConvBlocks + residual 1x1; FiLM from the time embedding
+    (reference ``unet.py:150-181`` / ``conv3d.py:206-230``)."""
+
+    dim_out: int
+    groups: int = 8
+    spatial_rank: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        scale_shift = None
+        if time_emb is not None:
+            h_t = nn.Dense(self.dim_out * 2, dtype=self.dtype)(nn.silu(time_emb))
+            scale_shift = jnp.split(h_t, 2, axis=-1)
+        h = ConvBlock(self.dim_out, self.groups, self.spatial_rank, self.dtype)(x, scale_shift)
+        h = ConvBlock(self.dim_out, self.groups, self.spatial_rank, self.dtype)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1,) * self.spatial_rank, dtype=self.dtype)(x)
+        return h + x
+
+
+def _split_heads(x: Array, heads: int) -> Array:
+    """[B, N, H*D] -> [B, heads, N, D]."""
+    b, n, hd = x.shape
+    return x.reshape(b, n, heads, hd // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array) -> Array:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+class LinearAttention(nn.Module):
+    """Efficient linear attention over flattened positions
+    (reference ``unet.py:183-223`` / ``conv3d.py:232-258``).
+
+    Input [B, N, C]; q softmaxed over feature dim, k over positions;
+    context = k v^T is a [D, D] matrix per head -> O(N D^2).
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    out_norm: bool = True  # reference 2D variant appends LayerNorm; 3D doesn't
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (_split_heads(y, self.heads) for y in (q, k, v))  # [B,h,N,D]
+        q = jax.nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=-2)
+        # context[b,h,d,e] = sum_n k[b,h,n,d] v[b,h,n,e]
+        context = jnp.einsum("bhnd,bhne->bhde", k, v)
+        out = jnp.einsum("bhde,bhnd->bhne", context, q)
+        out = _merge_heads(out)
+        out = nn.Dense(c, dtype=self.dtype)(out)
+        if self.out_norm:
+            out = ChannelLayerNorm(dtype=self.dtype)(out)
+        return out
+
+
+class Attention(nn.Module):
+    """Full softmax attention over positions, optional rotary embedding and
+    additive position bias (reference ``unet.py:225-259``, ``conv3d.py:277-353``).
+
+    Input [..., N, C]: arbitrary leading batch axes.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    use_rotary: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, pos_bias: Optional[Array] = None) -> Array:
+        c = x.shape[-1]
+        n = x.shape[-2]
+        lead = x.shape[:-2]
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(y):  # [..., N, H*D] -> [..., H, N, D]
+            y = y.reshape(lead + (n, self.heads, self.dim_head))
+            return jnp.moveaxis(y, -2, -3)
+
+        q, k, v = split(q), split(k), split(v)
+        q = q * (self.dim_head**-0.5)
+        if self.use_rotary:
+            q = apply_rotary(q)
+            k = apply_rotary(k)
+        sim = jnp.einsum("...hid,...hjd->...hij", q, k)
+        if pos_bias is not None:
+            sim = sim + pos_bias
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
+        out = jnp.einsum("...hij,...hjd->...hid", attn, v)
+        out = jnp.moveaxis(out, -3, -2).reshape(lead + (n, hidden))
+        return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
+
+
+def apply_rotary(x: Array, theta: float = 10000.0) -> Array:
+    """Interleaved rotary position embedding along axis -2 (positions).
+
+    x: [..., N, D] with even D; lucidrains rotary-embedding-torch semantics
+    (reference ``conv3d.py:381``).
+    """
+    n, d = x.shape[-2], x.shape[-1]
+    half = d // 2
+    freqs = 1.0 / (theta ** (np.arange(half) / half))
+    pos = jnp.arange(n)[:, None] * freqs[None, :]  # [N, half]
+    cos = jnp.repeat(jnp.cos(pos), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(pos), 2, axis=-1)
+    x2 = x.reshape(x.shape[:-1] + (half, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
+
+
+def relative_position_buckets(n: int, num_buckets: int = 32, max_distance: int = 128) -> np.ndarray:
+    """Static [n, n] T5-style bucket indices (reference ``conv3d.py:86-112``)."""
+    q = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    rel = k - q
+    neg = -rel
+    nb = num_buckets // 2
+    ret = (neg < 0).astype(np.int64) * nb
+    neg = np.abs(neg)
+    max_exact = nb // 2
+    is_small = neg < max_exact
+    with np.errstate(divide="ignore"):
+        val_if_large = max_exact + (
+            np.log(np.maximum(neg, 1) / max_exact) / math.log(max_distance / max_exact) * (nb - max_exact)
+        ).astype(np.int64)
+    val_if_large = np.minimum(val_if_large, nb - 1)
+    ret = ret + np.where(is_small, neg, val_if_large)
+    return ret
+
+
+class RelativePositionBias(nn.Module):
+    """Learned bucketed relative position bias -> [heads, n, n]."""
+
+    heads: int = 8
+    num_buckets: int = 32
+    max_distance: int = 128
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, n: int) -> Array:
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.normal(0.02),
+            (self.num_buckets, self.heads),
+        )
+        buckets = relative_position_buckets(n, self.num_buckets, self.max_distance)
+        values = table[jnp.asarray(buckets)]  # [n, n, heads]
+        return jnp.transpose(values, (2, 0, 1)).astype(self.dtype)

@@ -1,0 +1,158 @@
+"""Training loop: single jitted SPMD step, orbax checkpoints, metrics log.
+
+TPU-native replacement of the two reference Trainer classes
+(``burgers/ddpm_burgers/train_diffusion.py:39-237`` and
+``smoke/ddpm/diffusion_2d.py:1061-1309``): one compiled train step holds the
+q-sample, conditioning, denoiser fwd/bwd, grad-clip, Adam, LR schedule, EMA
+and (on a multi-chip mesh) the gradient all-reduce — no host round-trips,
+no explicit barriers.  Gradient accumulation is a ``lax.scan`` over
+micro-batches inside the same step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import orbax.checkpoint as ocp
+
+from ..core.diffusion import GaussianDiffusion
+from ..parallel.mesh import data_parallel_shardings, make_mesh
+from .state import TrainConfig, TrainState, create_train_state, ema_update, make_optimizer
+
+__all__ = ["Trainer", "make_train_step"]
+
+
+def make_train_step(
+    diffusion: GaussianDiffusion, cfg: TrainConfig
+) -> Callable[[TrainState, jnp.ndarray, jax.Array], tuple]:
+    """Build the jittable (state, batch, rng) -> (state, metrics) step."""
+    tx = make_optimizer(cfg)
+    accum = cfg.gradient_accumulate_every
+
+    def loss_fn(params, rng, batch):
+        return diffusion.loss(params, rng, batch)
+
+    def step_fn(state: TrainState, batch: jnp.ndarray, rng: jax.Array):
+        if accum == 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, rng, batch)
+        else:
+            micro = jnp.reshape(batch, (accum, batch.shape[0] // accum) + batch.shape[1:])
+            rngs = jax.random.split(rng, accum)
+
+            def micro_step(carry, inp):
+                mb, r = inp
+                l, g = jax.value_and_grad(loss_fn)(state.params, r, mb)
+                acc_l, acc_g = carry
+                return (acc_l + l, jax.tree_util.tree_map(jnp.add, acc_g, g)), ()
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(micro_step, (0.0, zero), (micro, rngs))
+            loss = loss / accum
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=state.ema_params,
+        )
+        new_state = new_state.replace(ema_params=ema_update(new_state, cfg))
+        gnorm = optax.global_norm(grads)
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step_fn
+
+
+class Trainer:
+    """Drives the jitted step over a data iterator with checkpointing.
+
+    Checkpoints hold ``{step, params, opt_state, ema_params}`` — the same
+    logical contents as the reference's ``{step, model, opt, ema, scaler}``
+    pickles (``train_diffusion.py:148-162``) — via orbax, saved every
+    ``save_every`` steps as milestone directories.
+    """
+
+    def __init__(
+        self,
+        diffusion: GaussianDiffusion,
+        data_iter: Iterator[np.ndarray],
+        cfg: TrainConfig,
+        init_params: Any,
+        results_dir: str,
+        *,
+        mesh=None,
+        save_every: int = 10_000,
+        log_every: int = 100,
+        seed: int = 0,
+    ):
+        self.diffusion = diffusion
+        self.data_iter = data_iter
+        self.cfg = cfg
+        self.results_dir = results_dir
+        os.makedirs(results_dir, exist_ok=True)
+        self.save_every = save_every
+        self.log_every = log_every
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        self.state = create_train_state(init_params, cfg)
+
+        state_sh, batch_sh = data_parallel_shardings(self.mesh)
+        state_shardings = jax.tree_util.tree_map(lambda _: state_sh, self.state)
+        self._step = jax.jit(
+            make_train_step(diffusion, cfg),
+            in_shardings=(state_shardings, batch_sh, None),
+            out_shardings=(state_shardings, None),
+            donate_argnums=(0,),
+        )
+        self._ckpt = ocp.StandardCheckpointer()
+        self._rng = jax.random.PRNGKey(seed)
+        self._log_path = os.path.join(results_dir, "metrics.jsonl")
+
+    # ------------------------------------------------------------------ io
+
+    def save(self, milestone: int) -> str:
+        path = os.path.join(os.path.abspath(self.results_dir), f"model-{milestone}")
+        self._ckpt.save(path, jax.device_get(self.state), force=True)
+        self._ckpt.wait_until_finished()
+        return path
+
+    def load(self, milestone_or_path) -> None:
+        path = (
+            milestone_or_path
+            if isinstance(milestone_or_path, str)
+            else os.path.join(os.path.abspath(self.results_dir), f"model-{milestone_or_path}")
+        )
+        target = jax.device_get(self.state)
+        self.state = self._ckpt.restore(path, target)
+
+    def _log(self, step: int, metrics: dict) -> None:
+        rec = {"step": step, "time": time.time(), **{k: float(v) for k, v in metrics.items()}}
+        with open(self._log_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    # --------------------------------------------------------------- train
+
+    def train(self, num_steps: Optional[int] = None) -> dict:
+        num_steps = num_steps or self.cfg.train_num_steps
+        last = {}
+        t0 = time.time()
+        for i in range(num_steps):
+            batch = jnp.asarray(next(self.data_iter))
+            self._rng, rng = jax.random.split(self._rng)
+            self.state, metrics = self._step(self.state, batch, rng)
+            step = int(self.state.step)
+            if step % self.log_every == 0 or i == num_steps - 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                last["steps_per_sec"] = (i + 1) / (time.time() - t0)
+                self._log(step, last)
+            if self.save_every and step % self.save_every == 0:
+                self.save(step // self.save_every)
+        return last
