@@ -1,0 +1,485 @@
+"""Unified command-line entry: datagen / prep / train / eval / bench.
+
+Replaces the reference's six per-script argparse forests + shell wrappers
+(SURVEY §1 L5/L6) with one config-driven CLI:
+
+    python -m wdno_tpu.cli datagen-burgers --n 48000 --out data/1d
+    python -m wdno_tpu.cli prep-burgers   --data data/1d
+    python -m wdno_tpu.cli train-burgers  --data data/1d --exp base_sim
+    python -m wdno_tpu.cli eval-burgers   --data data/1d --exp base_sim --task sim
+    python -m wdno_tpu.cli datagen-smoke  --n 20000 --out data/2d
+    python -m wdno_tpu.cli train-smoke    --data data/2d --exp base_sim
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _add_common(ap):
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--results", type=str, default="results")
+    return ap
+
+
+def cmd_datagen_burgers(args):
+    from .data.burgers_data import generate_burgers_dataset
+
+    os.makedirs(args.out, exist_ok=True)
+    for split, n in (("train", args.n_train), ("test", args.n_test)):
+        if n <= 0:
+            continue
+        data = generate_burgers_dataset(
+            args.seed if split == "train" else args.seed + 1,
+            n,
+            nt=args.nt,
+            nx=args.nx,
+            super_factor=args.super_factor,
+            batch_size=args.batch,
+        )
+        np.savez(os.path.join(args.out, f"{split}.npz"), **data)
+        print(f"saved {split}: u {data['u'].shape} f {data['f'].shape}")
+
+
+def cmd_prep_burgers(args):
+    from .data.burgers_data import build_coef_levels
+
+    data = np.load(os.path.join(args.data, "train.npz"))
+    db = build_coef_levels(
+        data["u"], data["f"], wave_type=args.wave_type, pad_mode=args.pad_mode,
+        n_downsample=args.n_downsample,
+    )
+    out = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}.npz")
+    np.savez(
+        out,
+        **{f"coef_{i}": c for i, c in enumerate(db["coef"])},
+        shape=np.asarray(db["shape"]),
+        ori_shape=np.asarray(db["ori_shape"]),
+        n_levels=args.n_downsample,
+    )
+    print("saved", out, [c.shape for c in db["coef"]])
+
+
+def _load_coef_db(path):
+    z = np.load(path)
+    n = int(z["n_levels"])
+    return {
+        "coef": [z[f"coef_{i}"] for i in range(n)],
+        "shape": z["shape"].tolist(),
+        "ori_shape": z["ori_shape"].tolist(),
+    }
+
+
+def _make_burgers_training(args, states_list, coef_shapes, rescaler):
+    import jax
+    import jax.numpy as jnp
+
+    from .core.conditioning import burgers_wavelet_spec
+    from .core.diffusion import GaussianDiffusion
+    from .core.schedules import make_schedule
+    from .models.unet2d import UNet2D
+    from .train.state import TrainConfig, create_train_state
+    from .train.trainer import make_train_step
+
+    C = states_list[0].shape[-1]
+    model = UNet2D(
+        dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
+        resnet_block_groups=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    sched = make_schedule(args.beta_schedule, args.timesteps)
+
+    gds, steps = [], []
+    cfg = TrainConfig(
+        learning_rate=args.lr, lr_schedule="cosine", cosine_t_max=10000,
+        train_num_steps=args.steps,
+        gradient_accumulate_every=args.grad_accum,
+    )
+    for states, coef_shape in zip(states_list, coef_shapes):
+        pad = states.shape[1]
+        spec_shape = (pad, pad, C)
+        nt_bump = coef_shape[0] + (1 if args.super_model else 0)
+        spec = burgers_wavelet_spec(
+            spec_shape, (nt_bump, coef_shape[1]),
+            is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+            is_condition_f=args.condition_f, is_super_model=args.super_model,
+        )
+        gd = GaussianDiffusion(
+            model.apply, sched, state_shape=spec_shape, spec=spec,
+            loss_channel_weight=rescaler,
+        )
+        gds.append(gd)
+        steps.append(jax.jit(make_train_step(gd, cfg), donate_argnums=(0,)))
+
+    x0 = jnp.zeros((args.batch,) + gds[0].state_shape)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(args.seed), x0, jnp.zeros((args.batch,), jnp.int32)
+    )
+    state = create_train_state(params, cfg)
+    return model, gds, steps, state, cfg
+
+
+def cmd_train_burgers(args):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from .data.burgers_data import build_training_states
+    from .data.rescalers import burgers_wavelet_rescaler
+
+    db = _load_coef_db(os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}.npz"))
+    rescaler = burgers_wavelet_rescaler(
+        args.wave_type, args.pad_mode, is_super_model=args.super_model,
+        has_condition_channel=args.condition_u0 or args.condition_uT,
+    )
+    levels = range(args.n_downsample) if args.super_model else [0]
+    states_list, coef_shapes = [], []
+    for lvl in levels:
+        st, cs, _ = build_training_states(
+            db, level=lvl, is_super_model=args.super_model,
+            wave_type=args.wave_type, pad_mode=args.pad_mode,
+            is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+            rescaler=rescaler,
+        )
+        states_list.append(st)
+        coef_shapes.append(cs)
+        print(f"level {lvl}: states {st.shape} coef {cs}")
+
+    model, gds, steps, state, cfg = _make_burgers_training(
+        args, states_list, coef_shapes, rescaler
+    )
+
+    outdir = os.path.join(args.results, args.exp)
+    os.makedirs(outdir, exist_ok=True)
+    json.dump({k: v for k, v in vars(args).items() if k != "fn"},
+              open(os.path.join(outdir, "config.json"), "w"), indent=1)
+    ckpt = ocp.StandardCheckpointer()
+    rng = jax.random.PRNGKey(args.seed)
+    rs = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for i in range(args.steps):
+        lvl = int(rs.integers(len(states_list)))
+        arr = states_list[lvl]
+        batch = jnp.asarray(arr[rs.integers(arr.shape[0], size=args.batch)])
+        rng, sub = jax.random.split(rng)
+        state, m = steps[lvl](state, batch, sub)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            rec = {"step": i, "loss": float(m["loss"]),
+                   "sps": (i + 1) / (time.time() - t0)}
+            print(rec, flush=True)
+            with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            ckpt.save(os.path.abspath(os.path.join(outdir, f"model-{(i+1)//args.ckpt_every}")),
+                      jax.device_get(state), force=True)
+    ckpt.save(os.path.abspath(os.path.join(outdir, "model-final")),
+              jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    print("saved", outdir)
+
+
+def cmd_eval_burgers(args):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from .core.schedules import get_J_scheduler
+    from .data.rescalers import burgers_wavelet_rescaler
+    from .eval.burgers_eval import (
+        BurgersEvalConfig, eval_control_batch, eval_sim_batch,
+    )
+    from .eval.result_io import save_acc
+
+    outdir = os.path.join(args.results, args.exp)
+    cfg_json = json.load(open(os.path.join(outdir, "config.json")))
+    ns = argparse.Namespace(**{**cfg_json, **{k: v for k, v in vars(args).items() if v is not None}})
+    db = _load_coef_db(os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"))
+    from .data.burgers_data import build_training_states
+
+    rescaler = burgers_wavelet_rescaler(
+        ns.wave_type, ns.pad_mode, is_super_model=ns.super_model,
+        has_condition_channel=ns.condition_u0 or ns.condition_uT,
+    )
+    st0, coef_shape, ori_shape = build_training_states(
+        db, level=0, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
+        is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
+        rescaler=rescaler,
+    )
+    model, gds, _, state, _ = _make_burgers_training(ns, [st0], [coef_shape], rescaler)
+    ckpt = ocp.StandardCheckpointer()
+    state = ckpt.restore(
+        os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}")), jax.device_get(state)
+    )
+    gd = gds[0]
+    gd.sampling_timesteps = args.ddim_steps
+    gd.is_ddim_sampling = True
+    gd.ddim_eta = args.ddim_eta
+
+    test = np.load(os.path.join(args.data, "test.npz"))
+    u_t = jnp.asarray(test["u"][: args.ntest])
+    f_t = jnp.asarray(test["f"][: args.ntest])
+    ecfg = BurgersEvalConfig(
+        rescaler=rescaler, coef_shape=tuple(coef_shape), ori_shape=tuple(ori_shape),
+        wave_type=ns.wave_type, pad_mode=ns.pad_mode,
+        is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
+        is_condition_f=ns.condition_f,
+    )
+    C = st0.shape[-1]
+    results = {}
+    for i in range(0, args.ntest, args.batch_eval):
+        rng = jax.random.PRNGKey(i)
+        sl = slice(i, i + args.batch_eval)
+        if args.task == "sim":
+            r = eval_sim_batch(gd, state.ema_params, rng, ecfg,
+                               u_target=u_t[sl], f_raw=f_t[sl], channels=C)
+            results.setdefault("ddpm_mse", []).append(r["ddpm_mse"])
+        else:
+            r = eval_control_batch(
+                gd, state.ema_params, rng, ecfg, u_target=u_t[sl],
+                wu=args.wu, wf=args.wf,
+                J_schedule=get_J_scheduler(args.J_scheduler, gd.num_timesteps),
+                channels=C,
+            )
+            for k in ("J_actual", "control_energy", "total_J", "J_diffused"):
+                results.setdefault(k, []).append(r[k])
+        print(f"batch {i}: " + ", ".join(f"{k}={np.concatenate(v).mean():.6f}" for k, v in results.items()), flush=True)
+
+    save_path = os.path.join(outdir, "eval_results.json")
+    for k, v in results.items():
+        save_acc(np.concatenate(v), save_path, args.task, k)
+    print("saved", save_path)
+    for k, v in results.items():
+        print(k, float(np.concatenate(v).mean()))
+
+
+def cmd_datagen_smoke(args):
+    from .data.smoke_data import generate_smoke_batch
+    from .solvers.smoke.scene import make_scene
+
+    scene = make_scene()
+    os.makedirs(args.out, exist_ok=True)
+    per = args.batch
+    all_fields = {}
+    for i in range(0, args.n, per):
+        b = min(per, args.n - i)
+        fields = generate_smoke_batch(args.seed + i, b, scene)
+        for k, v in fields.items():
+            all_fields.setdefault(k, []).append(v)
+        print(f"{i + b}/{args.n}", flush=True)
+    out = {k: np.concatenate(v) for k, v in all_fields.items()}
+    np.savez(os.path.join(args.out, f"{args.split}.npz"), **out)
+    print("saved", {k: v.shape for k, v in out.items()})
+
+
+def cmd_prep_smoke(args):
+    from .data.smoke_data import build_smoke_coef
+
+    z = np.load(os.path.join(args.data, f"{args.split}.npz"))
+    fields = {k: z[k] for k in z.files}
+    for ds_type in ("time", "space"):
+        db = build_smoke_coef(
+            fields, wave_type=args.wave_type, pad_mode=args.pad_mode,
+            n_downsample=args.n_downsample, downsample_type=ds_type,
+        )
+        out = os.path.join(
+            args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_{args.split}.npz"
+        )
+        np.savez(
+            out,
+            **{f"coef_{i}": c for i, c in enumerate(db["coef"])},
+            **{f"init_{i}": c for i, c in enumerate(db["init"])},
+            **{f"smokeout_{i}": c for i, c in enumerate(db["smokeout"])},
+            shape=np.asarray(db["shape"]),
+            ori_shape=np.asarray(db["ori_shape"]),
+            n_levels=args.n_downsample,
+        )
+        print("saved", out)
+
+
+def cmd_train_smoke(args):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from .core.conditioning import smoke_spec
+    from .core.diffusion import GaussianDiffusion
+    from .core.schedules import make_schedule
+    from .data.rescalers import smoke_wavelet_rescaler
+    from .data.smoke_data import build_smoke_states
+    from .models.unet3d import UNet3D
+    from .train.state import TrainConfig, create_train_state
+    from .train.trainer import make_train_step
+
+    ds_type = "space" if args.condition_control else "time"
+    path = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_train.npz")
+    z = np.load(path)
+    n = int(z["n_levels"])
+    db = {
+        "coef": [z[f"coef_{i}"] for i in range(n)],
+        "init": [z[f"init_{i}"] for i in range(n)],
+        "smokeout": [z[f"smokeout_{i}"] for i in range(n)],
+        "shape": z["shape"].tolist(),
+        "ori_shape": z["ori_shape"].tolist(),
+    }
+    rescaler = smoke_wavelet_rescaler(args.wave_type, is_super_model=args.super_model)
+    levels = range(args.n_downsample) if args.super_model else [0]
+    states_list, specs = [], []
+    for lvl in levels:
+        st, shape, ori = build_smoke_states(
+            db, level=lvl, is_super_model=args.super_model,
+            downsample_type=ds_type, rescaler=rescaler,
+        )
+        states_list.append(st)
+        bump = (0, 2, 2) if args.condition_control else (2, 0, 0)
+        cs = [shape[i] + (bump[i] if args.super_model else 0) for i in range(3)]
+        specs.append(smoke_spec(
+            st.shape[1:], cs, is_condition_control=args.condition_control,
+            is_super_model=args.super_model,
+        ))
+        print(f"level {lvl}: states {st.shape}")
+
+    C = states_list[0].shape[-1]
+    model = UNet3D(dim=args.dim, dim_mults=(1, 2, 4), channels=C,
+                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    sched = make_schedule("sigmoid", args.timesteps)
+    cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
+                      train_num_steps=args.steps)
+    gds = [GaussianDiffusion(model.apply, sched, state_shape=states_list[i].shape[1:],
+                             spec=specs[i], loss_channel_weight=None)
+           for i in range(len(states_list))]
+    steps_fns = [jax.jit(make_train_step(gd, cfg), donate_argnums=(0,)) for gd in gds]
+
+    x0 = jnp.zeros((args.batch,) + states_list[0].shape[1:])
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
+                                 jnp.zeros((args.batch,), jnp.int32))
+    state = create_train_state(params, cfg)
+
+    outdir = os.path.join(args.results, args.exp)
+    os.makedirs(outdir, exist_ok=True)
+    json.dump({k: v for k, v in vars(args).items() if k != "fn"},
+              open(os.path.join(outdir, "config.json"), "w"), indent=1)
+    ckpt = ocp.StandardCheckpointer()
+    rng = jax.random.PRNGKey(args.seed)
+    rs = np.random.default_rng(args.seed)
+    t0 = time.time()
+    for i in range(args.steps):
+        lvl = int(rs.integers(len(states_list)))
+        arr = states_list[lvl]
+        batch = jnp.asarray(arr[rs.integers(arr.shape[0], size=args.batch)])
+        rng, sub = jax.random.split(rng)
+        state, m = steps_fns[lvl](state, batch, sub)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            rec = {"step": i, "loss": float(m["loss"]), "sps": (i + 1) / (time.time() - t0)}
+            print(rec, flush=True)
+            with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
+            ckpt.save(os.path.abspath(os.path.join(outdir, f"model-{(i+1)//args.ckpt_every}")),
+                      jax.device_get(state), force=True)
+    ckpt.save(os.path.abspath(os.path.join(outdir, "model-final")), jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    print("saved", outdir)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="wdno_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = _add_common(sub.add_parser("datagen-burgers"))
+    p.add_argument("--n_train", type=int, default=40000)
+    p.add_argument("--n_test", type=int, default=8000)
+    p.add_argument("--nt", type=int, default=80)
+    p.add_argument("--nx", type=int, default=120)
+    p.add_argument("--super_factor", type=int, default=16)
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--out", type=str, default="data/1d")
+    p.set_defaults(fn=cmd_datagen_burgers)
+
+    p = _add_common(sub.add_parser("prep-burgers"))
+    p.add_argument("--data", type=str, default="data/1d")
+    p.add_argument("--wave_type", type=str, default="bior2.4")
+    p.add_argument("--pad_mode", type=str, default="periodization")
+    p.add_argument("--n_downsample", type=int, default=4)
+    p.set_defaults(fn=cmd_prep_burgers)
+
+    p = _add_common(sub.add_parser("train-burgers"))
+    p.add_argument("--data", type=str, default="data/1d")
+    p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--wave_type", type=str, default="bior2.4")
+    p.add_argument("--pad_mode", type=str, default="periodization")
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--dim_mults", type=int, nargs="+", default=[1, 2, 4, 8])
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--beta_schedule", type=str, default="cosine")
+    p.add_argument("--condition_u0", type=lambda s: s == "True", default=True)
+    p.add_argument("--condition_uT", type=lambda s: s == "True", default=False)
+    p.add_argument("--condition_f", type=lambda s: s == "True", default=True)
+    p.add_argument("--super_model", type=lambda s: s == "True", default=False)
+    p.add_argument("--n_downsample", type=int, default=3)
+    p.add_argument("--grad_accum", type=int, default=1)
+    p.add_argument("--bf16", type=lambda s: s == "True", default=True)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--ckpt_every", type=int, default=10000)
+    p.set_defaults(fn=cmd_train_burgers)
+
+    p = _add_common(sub.add_parser("eval-burgers"))
+    p.add_argument("--data", type=str, default="data/1d")
+    p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--task", type=str, default="sim", choices=["sim", "control"])
+    p.add_argument("--checkpoint", type=str, default="final")
+    p.add_argument("--ntest", type=int, default=200)
+    p.add_argument("--batch_eval", type=int, default=50)
+    p.add_argument("--ddim_steps", type=int, default=50)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    p.add_argument("--wu", type=float, default=120000.0)
+    p.add_argument("--wf", type=float, default=2e-5)
+    p.add_argument("--J_scheduler", type=str, default="cosine")
+    p.set_defaults(fn=cmd_eval_burgers)
+
+    p = _add_common(sub.add_parser("datagen-smoke"))
+    p.add_argument("--n", type=int, default=20000)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--out", type=str, default="data/2d")
+    p.set_defaults(fn=cmd_datagen_smoke)
+
+    p = _add_common(sub.add_parser("prep-smoke"))
+    p.add_argument("--data", type=str, default="data/2d")
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--wave_type", type=str, default="bior1.3")
+    p.add_argument("--pad_mode", type=str, default="zero")
+    p.add_argument("--n_downsample", type=int, default=3)
+    p.set_defaults(fn=cmd_prep_smoke)
+
+    p = _add_common(sub.add_parser("train-smoke"))
+    p.add_argument("--data", type=str, default="data/2d")
+    p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--wave_type", type=str, default="bior1.3")
+    p.add_argument("--pad_mode", type=str, default="zero")
+    p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--batch", type=int, default=6)
+    p.add_argument("--steps", type=int, default=200000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--condition_control", type=lambda s: s == "True", default=False)
+    p.add_argument("--super_model", type=lambda s: s == "True", default=False)
+    p.add_argument("--n_downsample", type=int, default=2)
+    p.add_argument("--bf16", type=lambda s: s == "True", default=True)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--ckpt_every", type=int, default=10000)
+    p.set_defaults(fn=cmd_train_smoke)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

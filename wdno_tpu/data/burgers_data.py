@@ -64,8 +64,8 @@ def generate_burgers_dataset(
         rng, sub = jax.random.split(rng)
         bs = min(batch_size, num_samples - i * batch_size)
         u0, f = make_data_varying_f(sub, bs, bs, s=s, t=t_f, alpha=alpha)
-        traj = solve(u0, f)  # [bs, nt+1, nx] (space downsampled by solver)
-        us.append(np.asarray(traj))
+        traj = solve(u0, f)  # [bs, nt+1, s] (u0 given at s -> no auto-downsample)
+        us.append(np.asarray(traj[:, :, :: s // nx]))
         fs.append(np.asarray(f[:, :: t_f // nt, :: s // nx]))
     return {"u": np.concatenate(us), "f": np.concatenate(fs)}
 

@@ -1,0 +1,330 @@
+"""Smoke dataset: batched on-device data generation + wavelet states.
+
+Replaces the reference pipeline — per-scene CPU PhiFlow loops fanned out
+with ``multiprocessing.Pool`` (``a_gen_train.py:699-832``), offline per-sim
+``ptwt`` transforms (``wave_trans_2d.py:61-189``) and per-item
+``torch.load`` blobs inside the training hot loop (``data_2d.py:156-221``,
+a disk-I/O bottleneck flagged in SURVEY §3.3) — with:
+
+* :func:`generate_smoke_batch`: a whole batch of scenes rolled out in one
+  ``lax.scan`` on device (random 4-waypoint boundary control, bucket
+  accounting, strided recording, matching ``a_gen_train`` semantics);
+* :func:`build_smoke_coef`: 3D/2D/1D DWT coefficient blobs at time- and
+  space-downsamplings;
+* :func:`build_smoke_states`: fully materialized channels-last training
+  states ``[N, 24, 40, 40, 42]`` (``+40`` channels for the super model) —
+  loaded once, memory-mapped, no per-item deserialization.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import packing as P
+from ..ops import wavelet as W
+from ..solvers.smoke.grid import advect_centered
+from ..solvers.smoke.scene import SmokeScene
+from ..solvers.smoke.sim import compose_control_velocity, divergence_free, with_boundary_conditions
+
+Array = jnp.ndarray
+
+SCENE_LEN = 256
+RECORD_SCALE = 8
+
+
+def sample_waypoints(rng: np.random.Generator, batch: int):
+    """Random smoke start + 4 waypoints + per-segment velocities
+    (reference ``exp2_target_128`` + ``get_per_vel``)."""
+    m = 5
+    start_x = rng.integers(16 + 1 + m, 112 - 10 - m, size=batch)
+    start_y = rng.integers(16 + 1 + m, 40 - 10 - m, size=batch)
+    a = (start_x >= 64 - 10).astype(int)
+    def tx():
+        lo = np.where(a == 0, 16 + m, 64)
+        hi = np.where(a == 0, 64 - 10, 112 - 10 - m)
+        return rng.integers(0, 1 << 30, size=batch) % (hi - lo) + lo
+    xs = np.stack([start_x, tx(), tx(),
+                   rng.integers(50, 80 - 1 - 10, size=batch),
+                   rng.integers(64 - 8, 64 + 8 - 10, size=batch)], axis=1)
+    ys = np.stack([start_y, np.full(batch, 40), np.full(batch, 50),
+                   np.full(batch, 64), np.full(batch, 112)], axis=1)
+
+    seg = np.stack([np.hypot(xs[:, i + 1] - xs[:, i], ys[:, i + 1] - ys[:, i])
+                    for i in range(4)], axis=1)
+    dist = seg.sum(1)
+    v = dist / SCENE_LEN
+    vx = v[:, None] * (xs[:, 1:] - xs[:, :-1]) / seg
+    vy = v[:, None] * (ys[:, 1:] - ys[:, :-1]) / seg
+    scale = rng.uniform(2, 5, size=(batch, 1))
+    def real(val):
+        return rng.normal(val, np.abs(val / 4))
+    vxs = real(scale * vx)
+    vys = real(5 * vy)
+    intervals = (SCENE_LEN * seg[:, :3] / dist[:, None]).astype(int)
+    return xs, ys, vxs, vys, intervals
+
+
+def _per_frame_schedule(vxs, vys, intervals):
+    """Expand segment velocities into per-frame (is_segment_start, vx, vy)."""
+    B = vxs.shape[0]
+    seg_start = np.zeros((B, SCENE_LEN), bool)
+    vx_f = np.zeros((B, SCENE_LEN), np.float32)
+    vy_f = np.zeros((B, SCENE_LEN), np.float32)
+    for b in range(B):
+        starts = [0, intervals[b, 0], intervals[b, 0] + intervals[b, 1],
+                  intervals[b, 0] + intervals[b, 1] + intervals[b, 2]]
+        for k, s in enumerate(starts):
+            if s < SCENE_LEN:
+                seg_start[b, s] = True
+                vx_f[b, s] = vxs[b, k]
+                vy_f[b, s] = vys[b, k]
+    return seg_start, vx_f, vy_f
+
+
+def generate_smoke_batch(
+    seed: int,
+    batch: int,
+    scene: SmokeScene,
+    accuracy: float = 1e-8,
+    max_iterations: int = 500,
+) -> Dict[str, np.ndarray]:
+    """Generate ``batch`` training scenes in one scanned rollout.
+
+    Returns reference-format arrays: Density [B, 33, 64, 64], Velocity
+    [B, 33, 64, 64, 2], Control [B, 33, 64, 64, 2], Smoke [B, 33, 8].
+    """
+    host_rng = np.random.default_rng(seed)
+    xs, ys, vxs, vys, intervals = sample_waypoints(host_rng, batch)
+    seg_start, vx_f, vy_f = _per_frame_schedule(vxs, vys, intervals)
+
+    density0 = np.zeros((batch, 127, 127, 1), np.float32)
+    for b in range(batch):
+        density0[b, ys[b, 0] : ys[b, 0] + 11, xs[b, 0] : xs[b, 0] + 11, 0] = 1.0
+
+    stencil = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(jnp.asarray(a), (batch,) + a.shape[1:]), scene.stencil
+    )
+    vel_mask = jnp.asarray(scene.velocity_mask)
+    smoke_masks = jnp.asarray(scene.smoke_masks)
+    concat = jnp.asarray(scene.smoke_concat)
+    set_zero = jnp.asarray(scene.set_zero[:-1, :-1])
+
+    strip = np.ones((128, 128), np.float32)
+    strip[16:112, 16:112] = 0.0
+    strip = jnp.asarray(strip)[None, :, :, None]
+
+    key0 = jax.random.PRNGKey(seed)
+
+    def frame_step(carry, inp):
+        vel, dens, dens_zero, outs = carry
+        f_idx, is_start, vx, vy = inp
+        key = jax.random.fold_in(key0, f_idx)
+        k1, k2 = jax.random.split(key)
+
+        # segment-start control: fresh ~N(v, |v|/10) field on strips;
+        # otherwise previous velocity + N(0, 0.1) noise on strips
+        fresh = jnp.stack(
+            [
+                vx[:, None, None] + jnp.abs(vx[:, None, None] / 10.0)
+                * jax.random.normal(k1, (batch, 128, 128)),
+                vy[:, None, None] + jnp.abs(vy[:, None, None] / 10.0)
+                * jax.random.normal(k2, (batch, 128, 128)),
+            ],
+            axis=-1,
+        )
+        drift = vel + 0.1 * jax.random.normal(k1, vel.shape)
+        control = jnp.where(is_start[:, None, None, None], fresh, drift) * strip
+
+        cur = compose_control_velocity(vel, control)
+        vel = divergence_free(cur, stencil, vel_mask, accuracy, max_iterations)
+        vel = with_boundary_conditions(vel, vel_mask)
+        dens = advect_centered(vel, dens)
+        dens_zero = advect_centered(vel, dens_zero)
+
+        # bucket accounting at the recorded (::2) resolution
+        arr = jnp.pad(dens_zero[..., 0], ((0, 0), (0, 1), (0, 1)))
+        in_bucket = jnp.sum(arr * concat, axis=(1, 2)) > 0
+        add = jnp.einsum("byx,kyx->bk", arr[:, ::2, ::2], smoke_masks[:, ::2, ::2])
+        outs = outs + jnp.where(in_bucket[:, None], add, 0.0)
+        dens_zero = jnp.where(
+            in_bucket[:, None, None, None], dens_zero * set_zero[None, :, :, None], dens_zero
+        )
+
+        total_zero = dens_zero[:, ::2, ::2, 0].sum((1, 2))
+        rec = (
+            jnp.pad(dens[..., 0], ((0, 0), (0, 1), (0, 1)))[:, ::2, ::2],
+            vel[:, ::2, ::2, :],
+            control[:, ::2, ::2, :],
+            jnp.concatenate([outs, total_zero[:, None]], axis=1),
+        )
+        return (vel, dens, dens_zero, outs), rec
+
+    vel0 = jnp.zeros((batch, 128, 128, 2), jnp.float32).at[..., 1].set(0.2)
+    init = (vel0, jnp.asarray(density0), jnp.asarray(density0),
+            jnp.zeros((batch, scene.smoke_masks.shape[0])))
+
+    inputs = (
+        jnp.arange(SCENE_LEN),
+        jnp.asarray(seg_start.T),  # scan over time-first
+        jnp.asarray(vx_f.T),
+        jnp.asarray(vy_f.T),
+    )
+    rollout = jax.jit(lambda init, inputs: jax.lax.scan(frame_step, init, inputs))
+    (_, dens_T, _, _), (d_seq, v_seq, c_seq, s_seq) = rollout(init, inputs)
+
+    # recorded frames: initial state + every RECORD_SCALE-th frame
+    idx = np.arange(RECORD_SCALE - 1, SCENE_LEN, RECORD_SCALE)
+    d0 = np.pad(np.asarray(density0[..., 0]), ((0, 0), (0, 1), (0, 1)))[:, ::2, ::2]
+    dens = np.concatenate([d0[:, None], np.moveaxis(np.asarray(d_seq[idx]), 1, 0)], axis=1)
+    vel = np.concatenate(
+        [np.zeros((batch, 1, 64, 64, 2), np.float32), np.moveaxis(np.asarray(v_seq[idx]), 1, 0)],
+        axis=1,
+    )
+    ctrl = np.concatenate(
+        [np.zeros((batch, 1, 64, 64, 2), np.float32), np.moveaxis(np.asarray(c_seq[idx]), 1, 0)],
+        axis=1,
+    )
+    smoke0 = np.zeros((batch, 1, 8), np.float32)
+    smoke0[:, 0, -1] = d0.sum((1, 2))
+    smoke = np.concatenate([smoke0, np.moveaxis(np.asarray(s_seq[idx]), 1, 0)], axis=1)
+    return {"Density": dens, "Velocity": vel, "Control": ctrl, "Smoke": smoke}
+
+
+# ---------------------------------------------------------------------------
+# Wavelet coefficient prep (wave_trans_2d equivalent)
+# ---------------------------------------------------------------------------
+
+
+def build_smoke_coef(
+    fields: Dict[str, np.ndarray],
+    *,
+    wave_type: str = "bior1.3",
+    pad_mode: str = "zero",
+    n_downsample: int = 3,
+    downsample_type: str = "time",
+    num_frames: int = 32,
+    batch: int = 64,
+) -> Dict:
+    """Per-level packed coefficient blobs for a batch of sims.
+
+    X = [d, v1, v2, c1, c2] over the first ``num_frames`` recorded frames;
+    per level i the reference downsamples time (``X[:, ::2**i]``) or space
+    and takes a level-1 3D DWT; also the 2D DWT of the initial density and
+    the 1D DWT of the smoke-out ratio (``wave_trans_2d.py:126-159``).
+
+    Returns {"coef": [N, nt', nx', nx', 40] per level, "init": [N, nx',
+    nx', 4] per level, "smokeout": [N, ns', 2] per level, "shape", "ori_shape"}.
+    """
+    d = fields["Density"][:, :num_frames]
+    v = fields["Velocity"][:, :num_frames]
+    c = fields["Control"][:, :num_frames]
+    s = fields["Smoke"][:, :num_frames]
+    s_ratio = s[:, :, 1] / s.sum(-1)
+
+    X = np.stack(
+        [d, v[..., 0], v[..., 1], c[..., 0], c[..., 1]], axis=1
+    )  # [N, 5, F, H, W]
+    N = X.shape[0]
+
+    dwt3 = jax.jit(lambda x: P.pack3d(*W.dwt3d(x, wave_type, pad_mode)))
+    dwt2 = jax.jit(lambda x: P.pack2d(*W.dwt2d(x, wave_type, pad_mode)))
+    dwt1 = jax.jit(lambda x: jnp.stack(W.dwt1d(x, wave_type, pad_mode), axis=-1))
+
+    out = {"coef": [], "init": [], "smokeout": [], "shape": [], "ori_shape": []}
+    for i in range(n_downsample):
+        if downsample_type == "time":
+            Xs = X[:, :, :: 2**i]
+            ss = s_ratio[:, :: 2**i]
+        else:
+            Xs = X[:, :, :, :: 2**i, :: 2**i]
+            ss = s_ratio
+        coefs, inits, smokes = [], [], []
+        for j in range(0, N, batch):
+            chunk = jnp.asarray(Xs[j : j + batch])
+            packed = np.asarray(dwt3(chunk))  # [b, 5, ft, fh, fw, 8]
+            b = packed.shape[0]
+            coefs.append(
+                packed.transpose(0, 2, 3, 4, 1, 5).reshape(packed.shape[0], *packed.shape[2:5], 40)
+            )
+            inits.append(np.asarray(dwt2(chunk[:, 0, 0])))  # [b, h', w', 4]
+            smokes.append(np.asarray(dwt1(jnp.asarray(ss[j : j + batch]))))  # [b, ns', 2]
+        out["coef"].append(np.concatenate(coefs))
+        out["init"].append(np.concatenate(inits))
+        out["smokeout"].append(np.concatenate(smokes))
+        out["shape"].append(list(out["coef"][-1].shape[1:4]))
+        out["ori_shape"].append(list(Xs.shape[2:]))
+    return out
+
+
+def build_smoke_states(
+    db: Dict,
+    *,
+    level: int = 0,
+    is_super_model: bool = False,
+    downsample_type: str = "time",
+    rescaler: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, List[int], List[int]]:
+    """Materialize padded training states (``Smoke_wave.__getitem__``
+    equivalent, reference ``data_2d.py:156-221``).
+
+    Returns (states [N, pad_t, pad_x, pad_x, C], coef_shape, ori_shape)
+    with C = 42 (82 super): 40 field bands + init-density DWT channel +
+    smoke-out channel.
+    """
+    from .rescalers import smoke_wavelet_rescaler
+
+    w = db["coef"][level]  # [N, nt, nx, nx, 40]
+    N, nt, nx = w.shape[0], w.shape[1], w.shape[2]
+    shape = list(w.shape[1:4])
+    ori_shape = list(db["ori_shape"][level])
+
+    if downsample_type == "time":
+        pad_t, pad_x = 24 // 2**level, 40
+    else:
+        pad_t, pad_x = 24, 40 // 2**level
+
+    if not is_super_model:
+        data = P.pad_to(jnp.asarray(w), (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+    else:
+        w_sub = db["coef"][level + 1]
+        if downsample_type == "space":
+            low = P.upsample_coef3d(jnp.asarray(w_sub), "space", axes=(1, 2, 3))
+            # boundary-replicate current coefficients by 1 cell
+            cur = jnp.pad(
+                jnp.asarray(w), ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
+            )
+        else:
+            low = P.upsample_coef3d(jnp.asarray(w_sub), "time", axes=(1, 2, 3))
+            cur = jnp.concatenate(
+                [jnp.asarray(w)[:, :1], jnp.asarray(w), jnp.asarray(w)[:, -1:]], axis=1
+            )
+        assert cur.shape == low.shape, (cur.shape, low.shape)
+        data = jnp.concatenate([cur, low], axis=-1)
+        data = P.pad_to(data, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+
+    # init-density condition channel: 4 DWT bands each repeated pad_t/4 frames
+    init = db["init"][level]  # [N, nxc, nxc, 4]
+    n_rep = pad_t // 4
+    cond = np.repeat(np.moveaxis(init, 3, 1), n_rep, axis=1)  # [N, pad_t, nxc, nxc]
+    cond = P.pad_to(jnp.asarray(cond), (pad_x, pad_x), axes=(2, 3))[..., None]
+
+    # smoke-out channel: per frame, top half rows = approx coef, bottom = detail
+    sm = db["smokeout"][level]  # [N, ns, 2]
+    ns = sm.shape[1]
+    half = pad_x // 2
+    top = np.broadcast_to(sm[:, :, 0][:, :, None, None], (N, ns, half, pad_x))
+    bot = np.broadcast_to(sm[:, :, 1][:, :, None, None], (N, ns, half, pad_x))
+    sm_img = np.concatenate([top, bot], axis=2)  # [N, ns, pad_x, pad_x]
+    sm_img = np.asarray(P.pad_to(jnp.asarray(sm_img), (pad_t,), axes=(1,)))[..., None]
+
+    states = np.concatenate([np.asarray(data), np.asarray(cond), sm_img], axis=-1)
+
+    if rescaler is None:
+        rescaler = smoke_wavelet_rescaler(is_super_model=is_super_model)
+    states = (states / rescaler.reshape(1, 1, 1, 1, -1)).astype(np.float32)
+    return states, shape, ori_shape

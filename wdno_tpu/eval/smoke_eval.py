@@ -1,0 +1,233 @@
+"""Smoke inference/evaluation: guided sampling + batched re-simulation.
+
+Functional JAX redesign of ``smoke/inference_2d.py``: the design-function
+guidance (iDWT inside the gradient, ``:30-66``), condition preparation by
+forward DWT (``:242-254``), base/super sampling, and — the reference's
+biggest eval bottleneck — control re-simulation, which there spawns one OS
+process per sample around a CPU PhiFlow loop (``:330-361``) and here is the
+single scanned, batched rollout of :mod:`..solvers.smoke.sim`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.diffusion import GaussianDiffusion, GuidanceConfig
+from ..ops import packing as P
+from ..ops import wavelet as W
+from ..solvers.smoke.scene import SmokeScene
+from ..solvers.smoke.sim import control_rollout, solver_out_fields
+from .metrics import smoke_sim_metrics
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SmokeEvalConfig:
+    wave_type: str = "bior1.3"
+    pad_mode: str = "zero"
+    rescaler: np.ndarray = None  # [C]
+    coef_shape: Tuple[int, int, int] = (18, 34, 34)
+    ori_shape: Tuple[int, int, int] = (32, 64, 64)
+    pad_t: int = 24
+    pad_x: int = 40
+    is_condition_control: bool = False
+
+
+def coef_state_to_fields(state: Array, cfg: SmokeEvalConfig, coef_shape=None, ori_shape=None):
+    """UNRESCALED state [B, pad_t, pad_x, pad_x, >=42] -> (fields
+    [B, ot, 5, ox, ox], smoke_out [B, ot]) via inverse DWT
+    (reference ``run_base_model``, ``inference_2d.py:137-152``)."""
+    ft, fh, fw = coef_shape or cfg.coef_shape
+    ot, oh, ow = ori_shape or cfg.ori_shape
+    B = state.shape[0]
+    bands = state[:, :ft, :fh, :fw, :40].reshape(B, ft, fh, fw, 5, 8)
+    bands = jnp.moveaxis(bands, 4, 1)  # [B, 5, ft, fh, fw, 8]
+    ap, det = P.unpack3d(bands)
+    fields = W.idwt3d(ap, det, cfg.wave_type, cfg.pad_mode)[:, :, :ot, :oh, :ow]
+    fields = jnp.moveaxis(fields, 1, 2)  # [B, ot, 5, oh, ow]
+
+    # smoke-out channel: top-half rows hold the approx coef per frame,
+    # bottom half the detail (reference Yl_s/Yh_s means, inference_2d.py:145-147)
+    half = cfg.pad_x // 2
+    sm = state[:, :ft, :, :, -1]
+    a = sm[:, :, :half, :].mean(axis=(2, 3))
+    d = sm[:, :, half:, :].mean(axis=(2, 3))
+    smoke = W.idwt1d(a, d, cfg.wave_type, cfg.pad_mode, axis=-1)[:, :ot]
+    return fields, smoke
+
+
+def control_to_coef_channels(control: Array, cfg: SmokeEvalConfig, pad_t=None, pad_x=None) -> Array:
+    """Raw control [B, F, 2, H, W] -> packed coefficient channels
+    [B, pad_t, pad_x, pad_x, 16] (reference ``run_model``, ``:250-254``)."""
+    pad_t = pad_t or cfg.pad_t
+    pad_x = pad_x or cfg.pad_x
+    B, F = control.shape[:2]
+    c = jnp.moveaxis(control, 2, 1).reshape(B * 2, F, *control.shape[-2:])
+    ap, det = W.dwt3d(c, cfg.wave_type, cfg.pad_mode)
+    packed = P.pack3d(ap, det)  # [B*2, ft, fh, fw, 8]
+    packed = packed.reshape(B, 2, *packed.shape[1:]).transpose(0, 2, 3, 4, 1, 5)
+    packed = packed.reshape(B, *packed.shape[1:4], 16)
+    return P.pad_to(packed, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+
+
+def init_to_cond_channel(d0: Array, cfg: SmokeEvalConfig, pad_t=None, pad_x=None) -> Array:
+    """Initial density [B, H, W] -> repeated 2D-DWT condition channel
+    [B, pad_t, pad_x, pad_x, 1] (reference ``:245-249``)."""
+    pad_t = pad_t or cfg.pad_t
+    pad_x = pad_x or cfg.pad_x
+    aa, det = W.dwt2d(d0, cfg.wave_type, cfg.pad_mode)
+    packed = P.pack2d(aa, det)  # [B, h', w', 4]
+    n_rep = pad_t // 4
+    cond = jnp.repeat(jnp.moveaxis(packed, 3, 1), n_rep, axis=1)  # [B, pad_t, h', w']
+    return P.pad_to(cond, (pad_x, pad_x), axes=(2, 3))[..., None]
+
+
+def make_smoke_cond_state(
+    cfg: SmokeEvalConfig,
+    channels: int,
+    *,
+    d0: Array,
+    control: Optional[Array] = None,
+    low: Optional[Array] = None,
+    pad_t=None,
+    pad_x=None,
+) -> Array:
+    """Assemble the RESCALED cond_values tensor for the sampler."""
+    pad_t = pad_t or cfg.pad_t
+    pad_x = pad_x or cfg.pad_x
+    r = jnp.asarray(cfg.rescaler)
+    B = d0.shape[0]
+    state = jnp.zeros((B, pad_t, pad_x, pad_x, channels))
+    state = state.at[..., -2:-1].set(init_to_cond_channel(d0, cfg, pad_t, pad_x) / r[-2])
+    if control is not None:
+        cc = control_to_coef_channels(control, cfg, pad_t, pad_x)
+        state = state.at[..., 24:40].set(cc / r[24:40])
+    if low is not None:
+        state = state.at[..., 40:80].set(low / r[40:80])
+    return state
+
+
+def make_smoke_guidance(
+    cfg: SmokeEvalConfig,
+    *,
+    init_u: Array,  # [B, H, W] unrescaled initial density
+    w_energy: float = 0.0,
+    w_init: float = 0.0,
+    standard_fixed_ratio: float = 1.0,
+    coeff_schedule: Optional[np.ndarray] = None,
+    coef_shape=None,
+    ori_shape=None,
+) -> GuidanceConfig:
+    """Design-function guidance (reference ``guidance_fn``, ``:30-66``):
+    control task: -smoke_out(T) + w_energy*||c||^2 + w_init*||d0-d^||^2;
+    simulation task: w_init term only."""
+    r = jnp.asarray(cfg.rescaler)
+    ot = (ori_shape or cfg.ori_shape)[0]
+
+    def objective(x):
+        xs = x * r
+        fields, smoke = coef_state_to_fields(xs, cfg, coef_shape, ori_shape)
+        g_init = ((fields[:, 0, 0] - init_u) ** 2).mean(axis=(-1, -2)).sum()
+        if cfg.is_condition_control:
+            return w_init * g_init
+        g_success = smoke[:, ot - 1].sum()
+        g_energy = (fields[:, :, 3:5] ** 2).mean(axis=(1, 2, 3, 4)).sum()
+        return -g_success + w_energy * g_energy + w_init * g_init
+
+    return GuidanceConfig(
+        grad_fn=jax.grad(objective),
+        weight=standard_fixed_ratio,
+        schedule=coeff_schedule,
+    )
+
+
+def eval_smoke_control(
+    gd: GaussianDiffusion,
+    params,
+    rng,
+    cfg: SmokeEvalConfig,
+    scene: SmokeScene,
+    *,
+    test_state: Array,  # [B, 256, 6, 64, 64] unrescaled reference data
+    channels: int = 42,
+    w_energy: float = 0.0,
+    w_init: float = 0.1,
+    standard_fixed_ratio: float = 100.0,
+    chunk: int = 10,
+) -> Dict[str, np.ndarray]:
+    """Guided control: sample a control plan, zero its direct interior
+    (indirect control, reference ``:337``), re-simulate on-device, score."""
+    B = test_state.shape[0]
+    base = test_state[:, ::8]  # 32 recorded frames at 64^2
+    d0 = base[:, 0, 0]
+    guid = make_smoke_guidance(
+        cfg, init_u=d0, w_energy=w_energy, w_init=w_init,
+        standard_fixed_ratio=standard_fixed_ratio,
+    )
+    cond = make_smoke_cond_state(cfg, channels, d0=d0)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
+    fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
+    pred = jnp.concatenate(
+        [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)], axis=2
+    )  # [B, 32, 6, 64, 64]
+
+    # indirect control: zero the interior of the sampled control
+    pred = pred.at[:, :, 3:5, 8:56, 8:56].set(0.0)
+    pred = pred.at[:, 0, 0].set(d0)
+
+    outs = []
+    for j in range(0, B, chunk):
+        c1 = pred[j : j + chunk, :, 3]
+        c2 = pred[j : j + chunk, :, 4]
+        vel0 = jnp.zeros((c1.shape[0], 128, 128, 2)).at[..., 1].set(0.2)
+        roll = control_rollout(scene, vel0, pred[j : j + chunk, 0, 0], c1, c2)
+        outs.append(np.asarray(solver_out_fields(roll, c1, c2)))
+    solver_out = np.concatenate(outs)  # [B, 256, 6, 128, 128]
+
+    data_sub = jnp.asarray(solver_out)[:, :, :, ::2, ::2]
+    data_cur = data_sub[:, :: data_sub.shape[1] // pred.shape[1]]
+    m = smoke_sim_metrics(pred, data_cur, w_energy=w_energy)
+    m["pred"] = np.asarray(pred)
+    m["solver_out"] = solver_out
+    return m
+
+
+def eval_smoke_sim(
+    gd: GaussianDiffusion,
+    params,
+    rng,
+    cfg: SmokeEvalConfig,
+    *,
+    test_state: Array,  # [B, 32, 6, nx, nx] unrescaled reference data
+    channels: int = 42,
+    w_init: float = 0.0,
+    standard_fixed_ratio: float = 0.0,
+) -> Dict[str, np.ndarray]:
+    """Conditioned simulation: sample fields given (d0, control), compare
+    to stored test sims (reference ``multi_evaluate`` sim branch)."""
+    B = test_state.shape[0]
+    sub = test_state.shape[-1] // cfg.ori_shape[-1]
+    base = test_state[:, :, :, ::sub, ::sub]
+    d0 = base[:, 0, 0]
+    control = base[:, :, 3:5]
+    guid = None
+    if w_init or standard_fixed_ratio:
+        guid = make_smoke_guidance(
+            cfg, init_u=d0, w_init=w_init, standard_fixed_ratio=standard_fixed_ratio
+        )
+    cond = make_smoke_cond_state(cfg, channels, d0=d0, control=control)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
+    fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
+    pred = jnp.concatenate(
+        [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)], axis=2
+    )
+    pred = pred.at[:, 0, 0].set(d0)
+    m = smoke_sim_metrics(pred, base)
+    m["pred"] = np.asarray(pred)
+    return m
