@@ -1,0 +1,68 @@
+"""Data pipeline unit tests (no TPU required): raw-state builders, smoke
+state assembly from synthetic coefficient blobs, waypoint sampling."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from wdno_tpu.data.burgers_data import build_raw_states
+from wdno_tpu.data.smoke_data import (
+    build_smoke_coef,
+    build_smoke_raw_states,
+    build_smoke_states,
+    sample_waypoints,
+)
+
+
+def _fake_fields(n=3, frames=33, nx=64):
+    rng = np.random.default_rng(0)
+    return {
+        "Density": rng.random((n, frames, nx, nx)).astype(np.float32),
+        "Velocity": rng.standard_normal((n, frames, nx, nx, 2)).astype(np.float32),
+        "Control": rng.standard_normal((n, frames, nx, nx, 2)).astype(np.float32),
+        "Smoke": np.abs(rng.random((n, frames, 8))).astype(np.float32) + 0.1,
+    }
+
+
+def test_burgers_raw_states():
+    rng = np.random.default_rng(1)
+    u = rng.standard_normal((4, 81, 120)).astype(np.float32)
+    f = rng.standard_normal((4, 80, 120)).astype(np.float32)
+    st, shape, ori = build_raw_states(u, f, rescaler=10.0)
+    assert st.shape == (4, 128, 128, 2)
+    assert shape == [81, 120]
+    np.testing.assert_allclose(st[:, :81, :120, 0] * 10.0, u, atol=1e-5)
+    np.testing.assert_allclose(st[:, :80, :120, 1] * 10.0, f, atol=1e-5)
+    assert (st[:, 81:, :, 0] == 0).all() and (st[:, :, 120:, :] == 0).all()
+
+    st_s, _, _ = build_raw_states(u, f, is_super_model=True)
+    assert st_s.shape[-1] == 4
+
+
+def test_smoke_raw_states():
+    fields = _fake_fields()
+    st = build_smoke_raw_states(fields)
+    assert st.shape == (3, 32, 64, 64, 6)
+    # smoke-out channel is constant over space
+    assert np.ptp(st[0, 5, :, :, 5]) == 0
+
+
+def test_smoke_coef_and_states_time_and_space():
+    fields = _fake_fields()
+    for ds in ("time", "space"):
+        db = build_smoke_coef(fields, n_downsample=2, downsample_type=ds)
+        assert db["shape"][0] == [18, 34, 34]
+        st, shape, ori = build_smoke_states(db, level=0, downsample_type=ds)
+        assert st.shape == (3, 24, 40, 40, 42)
+        assert np.isfinite(st).all()
+        st_s, _, _ = build_smoke_states(db, level=0, is_super_model=True, downsample_type=ds)
+        assert st_s.shape[-1] == 82
+
+
+def test_sample_waypoints_valid():
+    rng = np.random.default_rng(2)
+    xs, ys, vxs, vys, intervals = sample_waypoints(rng, 16)
+    assert xs.shape == (16, 5) and vxs.shape == (16, 4)
+    assert (xs[:, 0] >= 16).all() and (xs[:, 0] <= 112).all()
+    assert (ys[:, -1] == 112).all()
+    assert (intervals.sum(1) <= 256).all()
+    assert np.isfinite(vxs).all() and np.isfinite(vys).all()

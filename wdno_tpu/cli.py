@@ -267,7 +267,9 @@ def cmd_datagen_smoke(args):
     all_fields = {}
     for i in range(0, args.n, per):
         b = min(per, args.n - i)
-        fields = generate_smoke_batch(args.seed + i, b, scene)
+        fields = generate_smoke_batch(
+            args.seed + i, b, scene,
+            record_stride=args.record_stride, record_res=args.record_res)
         for k, v in fields.items():
             all_fields.setdefault(k, []).append(v)
         print(f"{i + b}/{args.n}", flush=True)
@@ -386,6 +388,86 @@ def cmd_train_smoke(args):
     print("saved", outdir)
 
 
+def cmd_eval_smoke(args):
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from .core.conditioning import smoke_spec
+    from .core.diffusion import GaussianDiffusion
+    from .core.schedules import make_schedule
+    from .data.rescalers import smoke_wavelet_rescaler
+    from .eval.result_io import save_acc
+    from .eval.smoke_eval import SmokeEvalConfig, eval_smoke_control, eval_smoke_sim
+    from .models.unet3d import UNet3D
+    from .solvers.smoke.scene import make_scene
+    from .train.state import TrainConfig, create_train_state
+
+    outdir = os.path.join(args.results, args.exp)
+    cfg_json = json.load(open(os.path.join(outdir, "config.json")))
+    ns = argparse.Namespace(**cfg_json)
+
+    is_sim = args.task == "sim"
+    C = 42 + (40 if ns.super_model else 0)
+    model = UNet3D(dim=ns.dim, dim_mults=(1, 2, 4), channels=C,
+                   dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
+    rescaler = smoke_wavelet_rescaler(ns.wave_type, is_super_model=ns.super_model)
+    spec = smoke_spec((24, 40, 40, C), (18, 34, 34),
+                      is_condition_control=ns.condition_control,
+                      is_super_model=ns.super_model)
+    sched = make_schedule("sigmoid", ns.timesteps)
+    gd = GaussianDiffusion(
+        model.apply, sched, state_shape=(24, 40, 40, C), spec=spec,
+        sampling_timesteps=args.ddim_steps, ddim_eta=args.ddim_eta,
+    )
+    x0 = jnp.zeros((1, 24, 40, 40, C))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
+    tcfg = TrainConfig()
+    state = create_train_state(params, tcfg)
+    ckpt = ocp.StandardCheckpointer()
+    state = ckpt.restore(
+        os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}")),
+        jax.device_get(state),
+    )
+
+    z = np.load(os.path.join(args.data, f"{args.split}.npz"))
+    s_ratio = z["Smoke"][:, :, 1] / z["Smoke"].sum(-1)
+    test_state = np.stack(
+        [z["Density"], z["Velocity"][..., 0], z["Velocity"][..., 1],
+         z["Control"][..., 0], z["Control"][..., 1],
+         np.broadcast_to(s_ratio[:, :, None, None], z["Density"].shape)], axis=2,
+    )[: args.ntest]
+    ecfg = SmokeEvalConfig(
+        rescaler=rescaler, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
+        is_condition_control=ns.condition_control,
+    )
+    scene = make_scene()
+    results = {}
+    keys = ("J_total", "J_target", "J_energy", "mse", "mse_wo_smoke", "n_l2")
+    for i in range(0, test_state.shape[0], args.batch_eval):
+        chunk = jnp.asarray(test_state[i : i + args.batch_eval])
+        rng = jax.random.PRNGKey(i)
+        if is_sim:
+            r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
+                               test_state=chunk[:, :32], channels=C)
+        else:
+            big = jnp.repeat(chunk[:, :32], 8, axis=1) if chunk.shape[1] < 256 else chunk
+            r = eval_smoke_control(
+                gd, state.ema_params, rng, ecfg, scene, test_state=big,
+                channels=C, standard_fixed_ratio=args.standard_fixed_ratio,
+                w_init=args.w_init, w_energy=args.w_energy,
+            )
+        for k in keys:
+            if k in r:
+                results.setdefault(k, []).append(r[k])
+        print(f"batch {i}: " + ", ".join(
+            f"{k}={np.concatenate(v).mean():.5f}" for k, v in results.items()), flush=True)
+    save_path = os.path.join(outdir, "eval_results.json")
+    for k, v in results.items():
+        save_acc(np.concatenate(v), save_path, args.task, k)
+    print("saved", save_path)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="wdno_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -448,6 +530,10 @@ def main(argv=None):
     p.add_argument("--n", type=int, default=20000)
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--split", type=str, default="train")
+    p.add_argument("--record_stride", type=int, default=8,
+                   help="1 for the 256-frame control test set")
+    p.add_argument("--record_res", type=int, default=64,
+                   help="128 for the full-resolution simulation test set")
     p.add_argument("--out", type=str, default="data/2d")
     p.set_defaults(fn=cmd_datagen_smoke)
 
@@ -476,6 +562,21 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10000)
     p.set_defaults(fn=cmd_train_smoke)
+
+    p = _add_common(sub.add_parser("eval-smoke"))
+    p.add_argument("--data", type=str, default="data/2d")
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--task", type=str, default="sim", choices=["sim", "control"])
+    p.add_argument("--checkpoint", type=str, default="final")
+    p.add_argument("--ntest", type=int, default=50)
+    p.add_argument("--batch_eval", type=int, default=10)
+    p.add_argument("--ddim_steps", type=int, default=100)
+    p.add_argument("--ddim_eta", type=float, default=1.0)
+    p.add_argument("--standard_fixed_ratio", type=float, default=100.0)
+    p.add_argument("--w_init", type=float, default=0.1)
+    p.add_argument("--w_energy", type=float, default=0.0)
+    p.set_defaults(fn=cmd_eval_smoke)
 
     args = ap.parse_args(argv)
     args.fn(args)

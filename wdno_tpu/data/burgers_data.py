@@ -56,18 +56,28 @@ def generate_burgers_dataset(
     dt = 1.0 / 76800
     rng = jax.random.PRNGKey(seed)
     us, fs = [], []
-    solve = jax.jit(
-        lambda u0, f: burgers_solve(u0, f, T=T, num_t=nt, dt=dt, s=s)
-    )
+
+    # one fused jitted program per batch: random-field generation, the full
+    # FD solve and the strided downsampling all stay on device; only the
+    # [bs, nt+1, nx] outputs cross the host boundary.
+    @jax.jit
+    def gen_and_solve(key):
+        u0, f = make_data_varying_f(key, batch_size, batch_size, s=s, t=t_f, alpha=alpha)
+        traj = burgers_solve(u0, f, T=T, num_t=nt, dt=dt, s=s)
+        return traj[:, :, :: s // nx], f[:, :: t_f // nt, :: s // nx]
+
+    import time as _time
     n_batches = math.ceil(num_samples / batch_size)
+    _t0 = _time.time()
     for i in range(n_batches):
         rng, sub = jax.random.split(rng)
-        bs = min(batch_size, num_samples - i * batch_size)
-        u0, f = make_data_varying_f(sub, bs, bs, s=s, t=t_f, alpha=alpha)
-        traj = solve(u0, f)  # [bs, nt+1, s] (u0 given at s -> no auto-downsample)
-        us.append(np.asarray(traj[:, :, :: s // nx]))
-        fs.append(np.asarray(f[:, :: t_f // nt, :: s // nx]))
-    return {"u": np.concatenate(us), "f": np.concatenate(fs)}
+        traj_ds, f_ds = gen_and_solve(sub)
+        us.append(np.asarray(traj_ds))
+        fs.append(np.asarray(f_ds))
+        if i % 5 == 0 or i == n_batches - 1:
+            print(f"  datagen batch {i + 1}/{n_batches} "
+                  f"({(_time.time() - _t0) / (i + 1):.2f}s/batch)", flush=True)
+    return {"u": np.concatenate(us)[:num_samples], "f": np.concatenate(fs)[:num_samples]}
 
 
 def build_coef_levels(
@@ -224,6 +234,52 @@ def build_training_states(
         )
     data = (data / rescaler.reshape(1, 1, 1, -1)).astype(np.float32)
     return data, [nt, nx], [ori_t, ori_x]
+
+
+def build_raw_states(
+    u: np.ndarray,
+    f: np.ndarray,
+    *,
+    level: int = 0,
+    is_super_model: bool = False,
+    rescaler: float = 10.0,
+    pad: int = 128,
+    max_samples: int = 40000,
+) -> Tuple[np.ndarray, List[int], List[int]]:
+    """Raw (non-wavelet) training states [N, pad, pad, C]: channels (u, f)
+    (+2 low-res channels for the super model), zero-padded and rescaled —
+    the ``get_burgers_preprocess`` equivalent (reference
+    ``data_burgers_1d.py:169-214``).
+    """
+    u = u[:max_samples]
+    f = f[:max_samples]
+    N, nt1, nx = u.shape
+    pad_lvl = pad // 2**level
+    u_l = u[:, :: 2**level, :: 2**level]
+    f_l = f[:, :: 2**level, :: 2**level]
+    shape = [u_l.shape[1], u_l.shape[2]]
+
+    u_p = np.zeros((N, pad_lvl, pad_lvl), np.float32)
+    f_p = np.zeros((N, pad_lvl, pad_lvl), np.float32)
+    u_p[:, : u_l.shape[1], : u_l.shape[2]] = u_l
+    f_p[:, : f_l.shape[1], : f_l.shape[2]] = f_l
+    chans = [u_p, f_p]
+
+    if is_super_model:
+        u_s = np.repeat(np.repeat(u[:, :: 2 ** (level + 1), :: 2 ** (level + 1)], 2, 1), 2, 2)
+        f_s = np.repeat(np.repeat(f[:, :: 2 ** (level + 1), :: 2 ** (level + 1)], 2, 1), 2, 2)
+        # repeat the last valid timestep row (odd nt, reference :208)
+        nt_sub = f_l.shape[1]
+        u_p = u_p.copy()
+        u_p[:, nt_sub + 1, :] = u_p[:, nt_sub, :]
+        lo_u = np.zeros_like(u_p)
+        lo_f = np.zeros_like(f_p)
+        lo_u[:, : u_s.shape[1], : u_s.shape[2]] = u_s[:, :pad_lvl, :pad_lvl]
+        lo_f[:, : f_s.shape[1], : f_s.shape[2]] = f_s[:, :pad_lvl, :pad_lvl]
+        chans = [u_p, f_p, lo_u, lo_f]
+
+    states = np.stack(chans, axis=-1) / rescaler
+    return states.astype(np.float32), shape, shape
 
 
 @dataclasses.dataclass

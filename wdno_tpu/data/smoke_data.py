@@ -92,11 +92,18 @@ def generate_smoke_batch(
     scene: SmokeScene,
     accuracy: float = 1e-8,
     max_iterations: int = 500,
+    record_stride: int = RECORD_SCALE,
+    record_res: int = 64,
 ) -> Dict[str, np.ndarray]:
-    """Generate ``batch`` training scenes in one scanned rollout.
+    """Generate ``batch`` scenes in one scanned rollout.
 
-    Returns reference-format arrays: Density [B, 33, 64, 64], Velocity
-    [B, 33, 64, 64, 2], Control [B, 33, 64, 64, 2], Smoke [B, 33, 8].
+    Defaults produce the training format (33 frames @ 64^2, reference
+    ``a_gen_train.py``); ``record_stride=1`` gives the 256-frame control
+    test set and ``record_res=128`` the full-resolution simulation test set
+    (reference ``a_gen_test_64.py`` / ``a_gen_test_128.py``).
+
+    Returns Density [B, F, r, r], Velocity [B, F, r, r, 2],
+    Control [B, F, r, r, 2], Smoke [B, F, 8] with F = 256/record_stride + 1.
     """
     host_rng = np.random.default_rng(seed)
     xs, ys, vxs, vys, intervals = sample_waypoints(host_rng, batch)
@@ -156,10 +163,11 @@ def generate_smoke_batch(
         )
 
         total_zero = dens_zero[:, ::2, ::2, 0].sum((1, 2))
+        sub = 128 // record_res
         rec = (
-            jnp.pad(dens[..., 0], ((0, 0), (0, 1), (0, 1)))[:, ::2, ::2],
-            vel[:, ::2, ::2, :],
-            control[:, ::2, ::2, :],
+            jnp.pad(dens[..., 0], ((0, 0), (0, 1), (0, 1)))[:, ::sub, ::sub],
+            vel[:, ::sub, ::sub, :],
+            control[:, ::sub, ::sub, :],
             jnp.concatenate([outs, total_zero[:, None]], axis=1),
         )
         return (vel, dens, dens_zero, outs), rec
@@ -177,22 +185,47 @@ def generate_smoke_batch(
     rollout = jax.jit(lambda init, inputs: jax.lax.scan(frame_step, init, inputs))
     (_, dens_T, _, _), (d_seq, v_seq, c_seq, s_seq) = rollout(init, inputs)
 
-    # recorded frames: initial state + every RECORD_SCALE-th frame
-    idx = np.arange(RECORD_SCALE - 1, SCENE_LEN, RECORD_SCALE)
-    d0 = np.pad(np.asarray(density0[..., 0]), ((0, 0), (0, 1), (0, 1)))[:, ::2, ::2]
+    # recorded frames: initial state + every record_stride-th frame
+    idx = np.arange(record_stride - 1, SCENE_LEN, record_stride)
+    sub = 128 // record_res
+    r = record_res
+    d0 = np.pad(np.asarray(density0[..., 0]), ((0, 0), (0, 1), (0, 1)))[:, ::sub, ::sub]
     dens = np.concatenate([d0[:, None], np.moveaxis(np.asarray(d_seq[idx]), 1, 0)], axis=1)
     vel = np.concatenate(
-        [np.zeros((batch, 1, 64, 64, 2), np.float32), np.moveaxis(np.asarray(v_seq[idx]), 1, 0)],
+        [np.zeros((batch, 1, r, r, 2), np.float32), np.moveaxis(np.asarray(v_seq[idx]), 1, 0)],
         axis=1,
     )
     ctrl = np.concatenate(
-        [np.zeros((batch, 1, 64, 64, 2), np.float32), np.moveaxis(np.asarray(c_seq[idx]), 1, 0)],
+        [np.zeros((batch, 1, r, r, 2), np.float32), np.moveaxis(np.asarray(c_seq[idx]), 1, 0)],
         axis=1,
     )
-    smoke0 = np.zeros((batch, 1, 8), np.float32)
+    smoke0 = np.zeros((batch, 1, scene.smoke_masks.shape[0] + 1), np.float32)
     smoke0[:, 0, -1] = d0.sum((1, 2))
     smoke = np.concatenate([smoke0, np.moveaxis(np.asarray(s_seq[idx]), 1, 0)], axis=1)
     return {"Density": dens, "Velocity": vel, "Control": ctrl, "Smoke": smoke}
+
+
+def build_smoke_raw_states(
+    fields: Dict[str, np.ndarray],
+    *,
+    num_frames: int = 32,
+    rescaler: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Raw (non-wavelet) training states [N, F, H, W, 6]: channels
+    (d, v1, v2, c1, c2, smoke-out ratio), per-channel rescaled — the
+    ``Smoke`` dataset equivalent (reference ``data_2d.py:58-77``)."""
+    from .rescalers import smoke_raw_rescaler
+
+    d = fields["Density"][:, :num_frames]
+    v = fields["Velocity"][:, :num_frames]
+    c = fields["Control"][:, :num_frames]
+    s = fields["Smoke"][:, :num_frames]
+    s_ratio = s[:, :, 1] / s.sum(-1)
+    s_img = np.broadcast_to(s_ratio[:, :, None, None], d.shape)
+    state = np.stack([d, v[..., 0], v[..., 1], c[..., 0], c[..., 1], s_img], axis=-1)
+    if rescaler is None:
+        rescaler = smoke_raw_rescaler()
+    return (state / rescaler.reshape(1, 1, 1, 1, -1)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -133,6 +133,26 @@ class Trainer:
         target = jax.device_get(self.state)
         self.state = self._ckpt.restore(path, target)
 
+    def restore_latest(self) -> Optional[int]:
+        """Resume from the newest milestone checkpoint in results_dir, if
+        any.  This is the elastic-recovery piece the reference lacks
+        entirely (SURVEY §5: restarts only via manual ``Trainer.load``);
+        here a crashed/preempted run resumes with one call.
+        Returns the restored step or None."""
+        import re
+
+        best = None
+        for name in os.listdir(self.results_dir):
+            m = re.fullmatch(r"model-(\d+)", name)
+            if m:
+                n = int(m.group(1))
+                if best is None or n > best:
+                    best = n
+        if best is None:
+            return None
+        self.load(best)
+        return int(self.state.step)
+
     def _log(self, step: int, metrics: dict) -> None:
         rec = {"step": step, "time": time.time(), **{k: float(v) for k, v in metrics.items()}}
         with open(self._log_path, "a") as f:
