@@ -170,3 +170,20 @@ def test_divergence_free_projection():
 
     eroded = ndi.binary_erosion(active > 0, iterations=2)
     assert np.abs(div[eroded]).max() < 5e-3
+
+
+def test_pallas_stencil_matches_xla():
+    from wdno_tpu.solvers.smoke.pressure_pallas import apply_laplace_fused
+
+    rng = np.random.default_rng(7)
+    n = 16
+    fluid = (rng.random((n, n)) > 0.2).astype(np.float32)
+    st = build_stencil(
+        jnp.asarray(np.pad(fluid, 1)[None, :, :, None]),
+        jnp.asarray(np.pad(fluid, 1)[None, :, :, None]),
+    )
+    st_b = jax.tree_util.tree_map(lambda c: jnp.broadcast_to(c, (3, n, n)), st)
+    p = jnp.asarray(rng.standard_normal((3, n, n)).astype(np.float32))
+    ref = np.asarray(apply_laplace(st_b, p))
+    out = np.asarray(apply_laplace_fused(st_b, p))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
