@@ -8,7 +8,11 @@ overrides the axon TPU plugin in this image.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Both variables must be forced: the axon TPU plugin environment exports
+# JAX_PLATFORMS=axon, which would override JAX_PLATFORM_NAME and put the
+# whole test suite on the (exclusive, possibly busy) TPU chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

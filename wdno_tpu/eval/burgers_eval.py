@@ -159,11 +159,17 @@ def eval_sim_batch(
     f_raw: Array,  # [B, ot-1, ox] forcing at model resolution
     channels: int = 9,
     guidance: Optional[GuidanceConfig] = None,
+    low_coef: Optional[Array] = None,  # [B, pad, pad, 8] RESCALED already? no: raw coef
 ) -> Dict[str, np.ndarray]:
-    """Conditioned simulation eval: sample u | (u0, f), compare to stored
-    ground truth (reference ``diffuse_2dconv`` with is_condition_f)."""
+    """Conditioned simulation eval: sample u | (u0, f[, low]), compare to
+    stored ground truth (reference ``diffuse_2dconv`` with is_condition_f)."""
     B = f_raw.shape[0]
-    cond = make_cond_state(cfg, B, channels, u0=u_target[:, 0, :: u_target.shape[-1] // cfg.ori_shape[1]], f_raw=f_raw)
+    cond = make_cond_state(
+        cfg, B, channels,
+        u0=u_target[:, 0, :: u_target.shape[-1] // cfg.ori_shape[1]],
+        f_raw=f_raw,
+        low_coef=low_coef,
+    )
     x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance)
     coef = x * jnp.asarray(cfg.rescaler)
     u, f = coef_state_to_uf(coef, cfg)
@@ -232,7 +238,6 @@ def super_res_chain(
         low = P.upsample_coef2d(coef, axes=(1, 2))
         low = P.pad_to(low, (pad, pad), axes=(1, 2))
         lvl_cfg = dataclasses.replace(cfg, coef_shape=(nt, nx), ori_shape=(ot, ox), pad=pad)
-        sub = u_target.shape[-1] // ox
         rng, sub_rng = jax.random.split(rng)
         res = eval_sim_batch(
             gd_super,
@@ -242,6 +247,7 @@ def super_res_chain(
             u_target=u_target[:, :: (u_target.shape[1] - 1) // (ot - 1)],
             f_raw=f_raw_per_level[k],
             channels=channels,
+            low_coef=low,
         )
         # feed the refined coefficients to the next level
         coef = jnp.asarray(res["coef"])[:, :nt, :nx, :]
