@@ -19,6 +19,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax  # noqa: E402
 
+# The axon plugin can force jax_platforms at import time, overriding the env
+# var above — pin it back to CPU at the config level (wins over the plugin).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # Persistent compile cache: the test matrix compiles many small convs.
 jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")

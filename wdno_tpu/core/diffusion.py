@@ -115,6 +115,22 @@ class GaussianDiffusion:
         self.ddim_eta = ddim_eta
         self.clip_denoised = clip_denoised
 
+    def with_shape(self, state_shape: tuple, spec: Optional[ConditionSpec]) -> "GaussianDiffusion":
+        """Copy bound to a different state shape + conditioning spec.
+
+        The denoisers are fully convolutional, so one set of params serves
+        every resolution level of the zero-shot super-resolution chain
+        (reference re-instantiates nothing either — it just feeds larger
+        tensors, ``eval_ddpm_burgers.py:307-338``, ``inference_2d.py:155-232``);
+        only the static sampling shape and masks change.
+        """
+        import copy
+
+        other = copy.copy(self)
+        other.state_shape = tuple(state_shape)
+        other.spec = spec
+        return other
+
     # ------------------------------------------------------------------ math
 
     def predict_start_from_noise(self, x_t, t, noise):

@@ -1,0 +1,172 @@
+"""Shard loaders: native mmap+prefetch batch sampling over .npy shards.
+
+Replaces the reference's host-side input pipeline — torch DataLoader worker
+processes (burgers/ddpm_burgers/train_diffusion.py:100-113) and, worse, the
+per-item ``torch.load`` of a pickle blob inside the smoke training hot loop
+(smoke/ddpm/data_2d.py:157) — with preconverted flat ``.npy`` shards sampled
+by a C++ prefetch ring (``native/shard_loader.cpp``): the shard is mmap'd
+once, worker threads gather random batches ahead of the consumer, and
+``next()`` hands back a contiguous host array ready for device transfer.
+
+``MultiResolutionLoader`` reproduces the reference ``SuperDataLoader``
+semantics (burgers/ddpm_burgers/data_burgers_1d.py:243-254): each step draws
+the whole batch from ONE randomly chosen resolution group, so every XLA
+compilation bucket sees full batches.
+"""
+
+from __future__ import annotations
+
+import ast
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent / "native"
+_SRC = _NATIVE_DIR / "shard_loader.cpp"
+_SO = _NATIVE_DIR / "shard_loader.so"
+
+_build_lock = threading.Lock()
+_lib = None
+_build_attempted = False
+
+
+def _build_native():
+    """Compile (once) and load the native shard loader. Returns the ctypes
+    library or None if the toolchain is unavailable."""
+    global _lib, _build_attempted
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        if _build_attempted and not _SO.exists():
+            return None
+        _build_attempted = True
+        try:
+            if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-pthread", str(_SRC), "-o", str(_SO)],
+                    check=True, capture_output=True,
+                )
+            lib = ctypes.CDLL(str(_SO))
+        except (OSError, subprocess.CalledProcessError):
+            return None
+        lib.wdno_shard_open.restype = ctypes.c_void_p
+        lib.wdno_shard_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.wdno_shard_next.restype = ctypes.c_int
+        lib.wdno_shard_next.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.wdno_shard_close.restype = None
+        lib.wdno_shard_close.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return _lib
+
+
+def parse_npy_header(path):
+    """Return (dtype, fortran_order, shape, payload_offset) of a .npy file."""
+    with open(path, "rb") as f:
+        magic = f.read(6)
+        if magic != b"\x93NUMPY":
+            raise ValueError(f"{path} is not a .npy file")
+        major, _minor = f.read(2)
+        n = 2 if major == 1 else 4
+        hlen = int.from_bytes(f.read(n), "little")
+        header = f.read(hlen).decode("latin1")
+        offset = f.tell()
+    d = ast.literal_eval(header)
+    return np.dtype(d["descr"]), bool(d["fortran_order"]), tuple(d["shape"]), offset
+
+
+def npy_payload_offset(path) -> int:
+    """Byte offset of the raw array payload inside a .npy file."""
+    return parse_npy_header(path)[3]
+
+
+class NativeShardLoader:
+    """Random-batch sampler over one .npy shard of shape [N, ...].
+
+    Uses the native prefetch ring when the toolchain is available, else a
+    numpy-memmap fallback with identical semantics (but no lookahead).
+    """
+
+    def __init__(self, path, batch_size: int, seed: int = 0,
+                 n_threads: int = 2, ring_slots: int = 4):
+        self.path = str(path)
+        self.batch_size = int(batch_size)
+        dtype, fortran, shape, offset = parse_npy_header(self.path)
+        if fortran:
+            raise ValueError("fortran-order shards are not supported")
+        if len(shape) < 1 or shape[0] == 0:
+            raise ValueError(f"empty shard {path}")
+        self.dtype = dtype
+        self.n_items = int(shape[0])
+        self.item_shape = tuple(shape[1:])
+        self._item_bytes = int(np.prod(self.item_shape, dtype=np.int64)) * dtype.itemsize
+        self._offset = offset
+        self._handle = None
+        self._lib = _build_native()
+        if self._lib is not None:
+            self._handle = self._lib.wdno_shard_open(
+                self.path.encode(), offset, self.n_items, self._item_bytes,
+                self.batch_size, int(seed), int(n_threads), int(ring_slots))
+        if self._handle is None:
+            self._mm = np.memmap(self.path, dtype=dtype, mode="r",
+                                 offset=offset, shape=shape)
+            self._rng = np.random.default_rng(seed)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def next(self) -> np.ndarray:
+        out = np.empty((self.batch_size,) + self.item_shape, dtype=self.dtype)
+        if self._handle is not None:
+            rc = self._lib.wdno_shard_next(
+                self._handle, out.ctypes.data_as(ctypes.c_void_p))
+            if rc != 0:
+                raise RuntimeError("native shard_next failed")
+        else:
+            idx = self._rng.integers(0, self.n_items, self.batch_size)
+            out[...] = self._mm[idx]
+        return out
+
+    def __iter__(self):
+        while True:
+            yield self.next()
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.wdno_shard_close(self._handle)
+            self._handle = None
+
+    def __del__(self):  # best-effort; explicit close() preferred
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class MultiResolutionLoader:
+    """SuperDataLoader-equivalent: each ``next()`` picks one resolution level
+    uniformly at random and returns ``(level, batch)`` drawn wholly from that
+    level's loader — one static XLA shape bucket per level."""
+
+    def __init__(self, loaders, seed: int = 0):
+        if not loaders:
+            raise ValueError("need at least one loader")
+        self.loaders = list(loaders)
+        self._rng = np.random.default_rng(seed)
+
+    def next(self):
+        lvl = int(self._rng.integers(0, len(self.loaders)))
+        return lvl, self.loaders[lvl].next()
+
+    def __iter__(self):
+        while True:
+            yield self.next()

@@ -231,6 +231,8 @@ def super_res_chain(
     """Zero-shot super-resolution: per level, nearest-upsample the sampled
     coefficients, condition the refinement model on them, sample, repeat
     (reference ``eval_ddpm_burgers.py:305-338``)."""
+    from ..core.conditioning import burgers_wavelet_spec
+
     out = []
     coef = sampled_coef
     for k, ((nt, nx), (ot, ox)) in enumerate(levels):
@@ -238,9 +240,17 @@ def super_res_chain(
         low = P.upsample_coef2d(coef, axes=(1, 2))
         low = P.pad_to(low, (pad, pad), axes=(1, 2))
         lvl_cfg = dataclasses.replace(cfg, coef_shape=(nt, nx), ori_shape=(ot, ox), pad=pad)
+        # rebind the (fully convolutional) super model to this level's padded
+        # shape + masks; +1 row bump as in training (diffusion_1d.py:317).
+        spec = burgers_wavelet_spec(
+            (pad, pad, channels), (nt + 1, nx),
+            is_condition_u0=cfg.is_condition_u0, is_condition_uT=cfg.is_condition_uT,
+            is_condition_f=cfg.is_condition_f, is_super_model=True,
+        )
+        gd_lvl = gd_super.with_shape((pad, pad, channels), spec)
         rng, sub_rng = jax.random.split(rng)
         res = eval_sim_batch(
-            gd_super,
+            gd_lvl,
             params_super,
             sub_rng,
             lvl_cfg,

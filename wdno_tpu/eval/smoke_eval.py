@@ -11,7 +11,7 @@ single scanned, batched rollout of :mod:`..solvers.smoke.sim`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +196,127 @@ def eval_smoke_control(
     m["pred"] = np.asarray(pred)
     m["solver_out"] = solver_out
     return m
+
+
+def smoke_super_res_chain(
+    gd_super: GaussianDiffusion,
+    params_super,
+    rng,
+    cfg: SmokeEvalConfig,
+    sampled_coef: Array,  # [B, ft, fh, fw, 40] UNRESCALED base-level bands
+    *,
+    test_state_hi: Array,  # [B, 32, 6, X_hi, X_hi] unrescaled ground truth
+    n_levels: int = 1,
+    channels: int = 82,
+    w_init: float = 0.0,
+    standard_fixed_ratio: float = 0.0,
+    base_pred: Optional[Array] = None,  # [B, ot, 6, oh, ow] base-level pred
+) -> List[Dict[str, np.ndarray]]:
+    """Zero-shot spatial super-resolution chain (reference ``run_super_model``,
+    ``inference_2d.py:155-232``, simulation task / space downsampling).
+
+    Per level: nearest-upsample the previously sampled bands into the low-res
+    condition block (40:80), DWT the fine-resolution conditions (init density
+    at C-2, control bands at 24:40 — the latter edge-replicated by one ring
+    to match the super training states, ``data_2d.py:187-198``), sample the
+    refinement model, inverse-DWT, score against ground truth alongside
+    nearest/linear interpolation baselines (``inference_2d.py:428-445``).
+    """
+    r = jnp.asarray(cfg.rescaler)
+    B, ft = sampled_coef.shape[0], sampled_coef.shape[1]
+    ot = cfg.ori_shape[0]
+    oh = cfg.ori_shape[1]
+
+    # previous level's physical-space prediction, for SR baselines
+    prev_fields = base_pred
+    coef = sampled_coef
+    out: List[Dict[str, np.ndarray]] = []
+    for k in range(n_levels):
+        oh_next = oh * 2 ** (k + 1)
+        sub = test_state_hi.shape[-1] // oh_next
+        if sub < 1:
+            break
+        gt = test_state_hi[:, :, :, ::sub, ::sub]  # [B, 32, 6, oh_next, oh_next]
+        d0 = gt[:, 0, 0]
+        control = gt[:, :, 3:5]
+        pad_t, pad_x = cfg.pad_t, cfg.pad_x * 2 ** (k + 1)
+
+        # fine-grid control bands with the +1 edge ring of the training states
+        c_flat = jnp.moveaxis(control, 2, 1).reshape(B * 2, control.shape[1], oh_next, oh_next)
+        ap_c, det_c = W.dwt3d(c_flat, cfg.wave_type, cfg.pad_mode)
+        fh_next = ap_c.shape[-2]
+        packed_c = P.pack3d(ap_c, det_c).reshape(B, 2, ft, fh_next, fh_next, 8)
+        packed_c = packed_c.transpose(0, 2, 3, 4, 1, 5).reshape(B, ft, fh_next, fh_next, 16)
+        ring_c = jnp.pad(packed_c, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        cc = P.pad_to(ring_c, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+
+        # low block: 2x nearest upsample of the previous bands == fine grid + ring
+        low = P.upsample_coef3d(coef, "space", axes=(1, 2, 3))
+        assert low.shape[2] == fh_next + 2, (low.shape, fh_next)
+        low = P.pad_to(low, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+
+        cond = jnp.zeros((B, pad_t, pad_x, pad_x, channels))
+        cond = cond.at[..., 24:40].set(cc / r[24:40])
+        cond = cond.at[..., 40:80].set(low / r[40:80])
+        cond = cond.at[..., -2:-1].set(
+            init_to_cond_channel(d0, cfg, pad_t, pad_x) / r[-2]
+        )
+
+        from ..core.conditioning import smoke_spec
+
+        spec = smoke_spec(
+            (pad_t, pad_x, pad_x, channels), (ft, fh_next + 2, fh_next + 2),
+            is_condition_control=True, is_super_model=True,
+        )
+        gd_lvl = gd_super.with_shape((pad_t, pad_x, pad_x, channels), spec)
+        guid = None
+        if w_init or standard_fixed_ratio:
+            lvl_cfg = dataclasses.replace(
+                cfg, coef_shape=(ft, fh_next, fh_next),
+                ori_shape=(ot, oh_next, oh_next), pad_t=pad_t, pad_x=pad_x,
+            )
+            guid = make_smoke_guidance(
+                lvl_cfg, init_u=d0, w_init=w_init,
+                standard_fixed_ratio=standard_fixed_ratio,
+            )
+        rng, sub_rng = jax.random.split(rng)
+        x = gd_lvl.sample(params_super, sub_rng, B, cond_values=cond, guidance=guid)
+
+        # decode: strip the edge ring, inverse-DWT the 40 field bands
+        bands = (x[:, :ft, 1 : fh_next + 1, 1 : fh_next + 1, :40] * r[:40]).reshape(
+            B, ft, fh_next, fh_next, 5, 8
+        )
+        bands = jnp.moveaxis(bands, 4, 1)
+        ap, det = P.unpack3d(bands)
+        fields = W.idwt3d(ap, det, cfg.wave_type, cfg.pad_mode)[:, :, :ot, :oh_next, :oh_next]
+        fields = jnp.moveaxis(fields, 1, 2)  # [B, ot, 5, oh_next, oh_next]
+        half = pad_x // 2
+        sm = x[:, :ft, :, :, -1] * r[-1]
+        a = sm[:, :, :half, :].mean(axis=(2, 3))
+        dd = sm[:, :, half:, :].mean(axis=(2, 3))
+        smoke = W.idwt1d(a, dd, cfg.wave_type, cfg.pad_mode, axis=-1)[:, :ot]
+        pred = jnp.concatenate(
+            [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)],
+            axis=2,
+        )
+        pred = pred.at[:, 0, 0].set(d0)
+
+        m = smoke_sim_metrics(pred, gt)
+        # interpolation baselines from the previous level's resolution
+        base_fields = prev_fields if prev_fields is not None else None
+        if base_fields is not None:
+            tgt_shape = base_fields.shape[:3] + (oh_next, oh_next)
+            for name, method in (("nearest", "nearest"), ("linear", "linear")):
+                up = jax.image.resize(base_fields, tgt_shape, method=method)
+                mb = smoke_sim_metrics(up, gt)
+                for mk in ("mse", "n_l2"):
+                    if mk in mb:
+                        m[f"{mk}_{name}_sr"] = mb[mk]
+        m["pred"] = np.asarray(pred)
+        out.append(m)
+        prev_fields = pred
+        coef = x[:, :ft, 1 : fh_next + 1, 1 : fh_next + 1, :40] * r[:40]
+    return out
 
 
 def eval_smoke_sim(
