@@ -22,6 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the fused train step takes minutes to compile cold
+jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from wdno_tpu.core.conditioning import smoke_spec

@@ -142,6 +142,10 @@ class LinearAttention(nn.Module):
     heads: int = 4
     dim_head: int = 32
     out_norm: bool = True  # reference 2D variant appends LayerNorm; 3D doesn't
+    # The Pallas kernel is measurably SLOWER here than XLA's lowering (the
+    # O(N d^2) contractions vectorize fine; only softmax layouts pad), so the
+    # fused path is opt-in, unlike full attention where it wins ~10x.
+    fused: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -150,13 +154,22 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(y, self.heads) for y in (q, k, v))  # [B,h,N,D]
-        q = jax.nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
-        k = jax.nn.softmax(k, axis=-2)
-        # context[b,h,d,e] = sum_n k[b,h,n,d] v[b,h,n,e]
-        context = jnp.einsum("bhnd,bhne->bhde", k, v)
-        out = jnp.einsum("bhde,bhnd->bhne", context, q)
-        out = _merge_heads(out)
+
+        out = None
+        if self.fused:
+            from ..ops.attention_pallas import fused_linear_attention
+
+            out = fused_linear_attention(
+                q, k, v, heads=self.heads, scale=self.dim_head**-0.5
+            )
+        if out is None:  # XLA fallback (also when a site row exceeds VMEM)
+            q, k, v = (_split_heads(y, self.heads) for y in (q, k, v))  # [B,h,N,D]
+            q = jax.nn.softmax(q, axis=-1) * (self.dim_head**-0.5)
+            k = jax.nn.softmax(k, axis=-2)
+            # context[b,h,d,e] = sum_n k[b,h,n,d] v[b,h,n,e]
+            context = jnp.einsum("bhnd,bhne->bhde", k, v)
+            out = jnp.einsum("bhde,bhnd->bhne", context, q)
+            out = _merge_heads(out)
         out = nn.Dense(c, dtype=self.dtype)(out)
         if self.out_norm:
             out = ChannelLayerNorm(dtype=self.dtype)(out)
@@ -167,12 +180,16 @@ class Attention(nn.Module):
     """Full softmax attention over positions, optional rotary embedding and
     additive position bias (reference ``unet.py:225-259``, ``conv3d.py:277-353``).
 
-    Input [..., N, C]: arbitrary leading batch axes.
+    Input [..., N, C]: arbitrary leading batch axes.  By default routes
+    through the fused Pallas kernel (:mod:`wdno_tpu.ops.attention_pallas`),
+    which keeps the padded [.., N, N] score tensors out of HBM; set
+    ``fused=False`` for the plain einsum lowering.
     """
 
     heads: int = 4
     dim_head: int = 32
     use_rotary: bool = False
+    fused: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -183,6 +200,19 @@ class Attention(nn.Module):
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        if self.fused:
+            from ..ops.attention_pallas import fused_attention
+
+            q = q.reshape((-1, n, hidden)) * (self.dim_head**-0.5)
+            k = k.reshape((-1, n, hidden))
+            v = v.reshape((-1, n, hidden))
+            if self.use_rotary:
+                q = apply_rotary_packed(q, self.heads)
+                k = apply_rotary_packed(k, self.heads)
+            out = fused_attention(q, k, v, pos_bias, heads=self.heads)
+            out = out.reshape(lead + (n, hidden))
+            return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
 
         def split(y):  # [..., N, H*D] -> [..., H, N, D]
             y = y.reshape(lead + (n, self.heads, self.dim_head))
@@ -218,6 +248,25 @@ def apply_rotary(x: Array, theta: float = 10000.0) -> Array:
     x2 = x.reshape(x.shape[:-1] + (half, 2))
     rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
     return x * cos.astype(x.dtype) + rot * sin.astype(x.dtype)
+
+
+def apply_rotary_packed(x: Array, heads: int, theta: float = 10000.0) -> Array:
+    """Rotary embedding on head-packed ``[N, S, heads*d]`` tensors.
+
+    Same per-head semantics as :func:`apply_rotary` but the head axis stays
+    merged into the 128-wide lane dimension (the cos/sin tables tile across
+    heads), so no padded [N, S, h, d] intermediate is materialized.
+    """
+    s, hd = x.shape[-2], x.shape[-1]
+    d = hd // heads
+    half = d // 2
+    freqs = 1.0 / (theta ** (np.arange(half) / half))
+    pos = np.arange(s)[:, None] * freqs[None, :]  # [S, half]
+    cos = np.tile(np.repeat(np.cos(pos), 2, axis=-1), (1, heads))  # [S, hd]
+    sin = np.tile(np.repeat(np.sin(pos), 2, axis=-1), (1, heads))
+    x2 = x.reshape(x.shape[:-1] + (hd // 2, 2))
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(x.shape)
+    return x * jnp.asarray(cos, x.dtype) + rot * jnp.asarray(sin, x.dtype)
 
 
 def relative_position_buckets(n: int, num_buckets: int = 32, max_distance: int = 128) -> np.ndarray:

@@ -1,0 +1,332 @@
+"""Fused Pallas TPU multi-head attention for short sequences.
+
+The smoke denoiser attends over F<=32 frames at every spatial site and over
+<=1600 sites at the bottleneck (reference ``conv3d.py:277-353``).  XLA
+materializes the per-head score tensors ``[N, h, F, F]`` in HBM, where the
+tiny trailing dims land on the (8,128) tiled layout with 4-5.3x padding —
+measured ~48% of the whole train step going to padded-layout copies.
+
+This kernel keeps the entire softmax(q k^T + bias) v chain in VMEM: one HBM
+read of q/k/v ``[N, S, h*d]`` (h*d = 128 = exactly one lane tile), one HBM
+write of the output, nothing else.  The backward pass is the standard
+flash-style recompute, also fused, accumulating the bias gradient across the
+(sequential) TPU grid.  Measured ~10x over the XLA lowering for the
+temporal-attention shape [9600, 24, 4x32] on a v5e chip.
+
+Heads are looped statically inside the kernel; the per-head contractions are
+batched ``dot_general``s over the site-block dimension, which Mosaic lowers
+natively.  Scale and rotary embeddings are applied by the caller (they fuse
+into the qkv projection epilogue and differentiate for free).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_attention", "fused_linear_attention"]
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _pick_block(n: int, s: int, c: int, n_io: int, n_scores: int,
+                budget_bytes: int = 9 * 1024 * 1024) -> int:
+    """Site-block size under a VMEM budget: ``n_io`` double-buffered bf16
+    [NB, S, C] blocks + ``n_scores`` f32 [NB, S, S] intermediates + per-head
+    f32 staging; multiple of 8, and must divide ``n`` (n is pre-padded)."""
+    per_site = n_io * 2 * s * c * 2 + n_scores * s * s * 4 + n_io * s * 32 * 4
+    nb = max(8, min(128, budget_bytes // max(per_site, 1)))
+    nb = (nb // 8) * 8
+    while n % nb:
+        nb -= 8
+        if nb <= 8:
+            return 8
+    return nb
+
+
+def _fwd_block(n: int, s: int, c: int) -> int:
+    return _pick_block(n, s, c, n_io=4, n_scores=3)
+
+
+def _bwd_block(n: int, s: int, c: int) -> int:
+    return _pick_block(n, s, c, n_io=7, n_scores=5)
+
+
+def _fwd_kernel(heads, q_ref, k_ref, v_ref, b_ref, o_ref):
+    D = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s + b_ref[h][None]
+        s = s - s.max(-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(heads, q_ref, k_ref, v_ref, b_ref, g_ref, dq_ref, dk_ref, dv_ref, db_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    D = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.float32)
+        k = k_ref[:, :, sl].astype(jnp.float32)
+        v = v_ref[:, :, sl].astype(jnp.float32)
+        g = g_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        s = s + b_ref[h][None]
+        s = s - s.max(-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(-1, keepdims=True)
+        # dv[n,g,d] = sum_f p[n,f,g] g[n,f,d]
+        dv = jax.lax.dot_general(
+            p, g, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dp[n,f,g] = sum_d g[n,f,d] v[n,g,d]
+        dp = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+        dq = jax.lax.dot_general(
+            ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dk[n,g,d] = sum_f ds[n,f,g] q[n,f,d]
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        db_ref[h] = db_ref[h] + ds.sum(0)
+
+
+def _site_spec(nb, s, c):
+    return pl.BlockSpec((nb, s, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _bias_spec(heads, s):
+    return pl.BlockSpec((heads, s, s), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+
+
+def _fwd_call(heads, q, k, v, bias):
+    n, s, c = q.shape
+    nb = _fwd_block(n, s, c)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, heads),
+        grid=(n // nb,),
+        in_specs=[_site_spec(nb, s, c)] * 3 + [_bias_spec(heads, s)],
+        out_specs=_site_spec(nb, s, c),
+        out_shape=jax.ShapeDtypeStruct((n, s, c), q.dtype),
+        interpret=not _on_tpu(),
+    )(q, k, v, bias)
+
+
+def _bwd_call(heads, q, k, v, bias, g):
+    n, s, c = q.shape
+    nb = _bwd_block(n, s, c)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, heads),
+        grid=(n // nb,),
+        in_specs=[_site_spec(nb, s, c)] * 3 + [_bias_spec(heads, s), _site_spec(nb, s, c)],
+        out_specs=[_site_spec(nb, s, c)] * 3 + [_bias_spec(heads, s)],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, s, c), q.dtype),
+            jax.ShapeDtypeStruct((n, s, c), k.dtype),
+            jax.ShapeDtypeStruct((n, s, c), v.dtype),
+            jax.ShapeDtypeStruct((heads, s, s), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)  # db accumulates across steps
+        ),
+        interpret=not _on_tpu(),
+    )(q, k, v, bias, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_attention(heads, q, k, v, bias):
+    return _fwd_call(heads, q, k, v, bias)
+
+
+def _fa_fwd(heads, q, k, v, bias):
+    return _fwd_call(heads, q, k, v, bias), (q, k, v, bias)
+
+
+def _fa_bwd(heads, res, g):
+    q, k, v, bias = res
+    dq, dk, dv, db = _bwd_call(heads, q, k, v, bias, g)
+    return dq, dk, dv, db.astype(bias.dtype)
+
+
+_fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def _lin_fwd_kernel(heads, scale, q_ref, k_ref, v_ref, o_ref):
+    # All per-head temps live transposed as [MB, d, N] — lanes on the long
+    # site axis N, so nothing in VMEM is padded (d=32 would waste 4x lanes).
+    D = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        k = k_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        v = v_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        qs = jax.nn.softmax(q, axis=1) * scale  # softmax over d
+        ks = jax.nn.softmax(k, axis=2)  # softmax over sites
+        # ctx[m,d,e] = sum_n ks[m,d,n] v[m,e,n]
+        ctx = jax.lax.dot_general(
+            ks, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # o[m,e,n] = sum_d ctx[m,d,e] qs[m,d,n]
+        o = jax.lax.dot_general(
+            ctx, qs, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[:, :, sl] = o.swapaxes(1, 2).astype(o_ref.dtype)
+
+
+def _lin_bwd_kernel(heads, scale, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref):
+    D = q_ref.shape[-1] // heads
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        q = q_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        k = k_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        v = v_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        g = g_ref[:, :, sl].astype(jnp.float32).swapaxes(1, 2)
+        sm = jax.nn.softmax(q, axis=1)
+        qs = sm * scale
+        ks = jax.nn.softmax(k, axis=2)
+        ctx = jax.lax.dot_general(
+            ks, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dctx[m,d,e] = sum_n qs[m,d,n] g[m,e,n]
+        dctx = jax.lax.dot_general(
+            qs, g, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dqs[m,d,n] = sum_e ctx[m,d,e] g[m,e,n]
+        dqs = jax.lax.dot_general(
+            ctx, g, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dv[m,e,n] = sum_d dctx[m,d,e] ks[m,d,n]
+        dv = jax.lax.dot_general(
+            dctx, ks, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        # dks[m,d,n] = sum_e dctx[m,d,e] v[m,e,n]
+        dks = jax.lax.dot_general(
+            dctx, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        dsm = dqs * scale
+        dq = sm * (dsm - (dsm * sm).sum(axis=1, keepdims=True))
+        dk = ks * (dks - (dks * ks).sum(axis=2, keepdims=True))
+        dq_ref[:, :, sl] = dq.swapaxes(1, 2).astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.swapaxes(1, 2).astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.swapaxes(1, 2).astype(dv_ref.dtype)
+
+
+def _lin_block(m: int, n: int, c: int, n_io: int, budget: int = 9 * 1024 * 1024) -> int:
+    # io blocks are double-buffered bf16 [MB, N, C]; transposed f32 temps are
+    # ~8 live [MB, 32, N] arrays plus transient padded slice reads.
+    per_row = n_io * 2 * n * c * 2 + 8 * n * 32 * 4 + 2 * n * 128 * 4
+    mb = max(1, min(8, budget // max(per_row, 1)))
+    while m % mb:
+        mb -= 1
+    return mb
+
+
+def _lin_fwd_call(heads, scale, q, k, v):
+    m, n, c = q.shape
+    mb = _lin_block(m, n, c, 4)
+    spec = lambda: pl.BlockSpec((mb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lin_fwd_kernel, heads, scale),
+        grid=(m // mb,),
+        in_specs=[spec()] * 3,
+        out_specs=spec(),
+        out_shape=jax.ShapeDtypeStruct((m, n, c), q.dtype),
+        interpret=not _on_tpu(),
+    )(q, k, v)
+
+
+def _lin_bwd_call(heads, scale, q, k, v, g):
+    m, n, c = q.shape
+    mb = _lin_block(m, n, c, 7)
+    spec = lambda: pl.BlockSpec((mb, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_lin_bwd_kernel, heads, scale),
+        grid=(m // mb,),
+        in_specs=[spec()] * 4,
+        out_specs=[spec()] * 3,
+        out_shape=[jax.ShapeDtypeStruct((m, n, c), t.dtype) for t in (q, k, v)],
+        interpret=not _on_tpu(),
+    )(q, k, v, g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fused_linear_attention(heads, scale, q, k, v):
+    return _lin_fwd_call(heads, scale, q, k, v)
+
+
+def _fla_fwd(heads, scale, q, k, v):
+    return _lin_fwd_call(heads, scale, q, k, v), (q, k, v)
+
+
+def _fla_bwd(heads, scale, res, g):
+    return _lin_bwd_call(heads, scale, *res, g)
+
+
+_fused_linear_attention.defvjp(_fla_fwd, _fla_bwd)
+
+
+def fused_linear_attention(q, k, v, *, heads: int, scale: float):
+    """Linear attention ``(softmax_d(q)·scale) @ (softmax_n(k)^T v)`` per
+    head, fused in VMEM (reference semantics ``unet.py:183-223`` /
+    ``conv3d.py:232-258``).  q/k/v: ``[M, N, heads*d]``.
+
+    The O(N d^2) contraction never materializes padded per-head tensors in
+    HBM.  Falls back to ``None`` (caller should use the XLA path) when one
+    row of sites exceeds the VMEM budget.
+    """
+    m, n, c = q.shape
+    if 7 * 2 * n * c * 2 > 12 * 1024 * 1024:  # bwd block would not fit VMEM
+        return None
+    return _fused_linear_attention(heads, scale, q, k, v)
+
+
+def fused_attention(q, k, v, bias=None, *, heads: int):
+    """softmax(q k^T + bias) v per head, fused in VMEM.
+
+    q/k/v: ``[N, S, heads*dim_head]`` with pre-applied scaling/rotary;
+    bias: optional ``[heads, S, S]`` additive logits (differentiable).
+    Returns ``[N, S, heads*dim_head]`` in the dtype of ``q``.
+    """
+    n, s, c = q.shape
+    assert c % heads == 0, (c, heads)
+    if bias is None:
+        bias = jnp.zeros((heads, s, s), jnp.float32)
+    # pad the site dim to a multiple of the block size
+    nb = _fwd_block(max(n, 8), s, c)
+    pad = (-n) % max(nb, 8)
+    if pad:
+        zeros = jnp.zeros((pad, s, c), q.dtype)
+        q, k, v = (jnp.concatenate([y, zeros], 0) for y in (q, k, v))
+    out = _fused_attention(heads, q, k, v, bias.astype(jnp.float32))
+    return out[:n] if pad else out
