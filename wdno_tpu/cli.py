@@ -16,8 +16,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
-import time
 
 import numpy as np
 
@@ -76,7 +74,9 @@ def _load_coef_db(path):
     }
 
 
-def _make_burgers_training(args, states_list, coef_shapes, rescaler):
+def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
+    """Build (model, per-level diffusions, init train state, cfg) from the
+    per-level state shapes — no data arrays needed."""
     import jax
     import jax.numpy as jnp
 
@@ -85,51 +85,78 @@ def _make_burgers_training(args, states_list, coef_shapes, rescaler):
     from .core.schedules import make_schedule
     from .models.unet2d import UNet2D
     from .train.state import TrainConfig, create_train_state
-    from .train.trainer import make_train_step
 
-    C = states_list[0].shape[-1]
+    C = state_shapes[0][-1]
     model = UNet2D(
         dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
         resnet_block_groups=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     sched = make_schedule(args.beta_schedule, args.timesteps)
 
-    gds, steps = [], []
     cfg = TrainConfig(
         learning_rate=args.lr, lr_schedule="cosine", cosine_t_max=10000,
         train_num_steps=args.steps,
         gradient_accumulate_every=args.grad_accum,
     )
-    for states, coef_shape in zip(states_list, coef_shapes):
-        pad = states.shape[1]
-        spec_shape = (pad, pad, C)
+    gds = []
+    for spec_shape, coef_shape in zip(state_shapes, coef_shapes):
         nt_bump = coef_shape[0] + (1 if args.super_model else 0)
         spec = burgers_wavelet_spec(
-            spec_shape, (nt_bump, coef_shape[1]),
+            tuple(spec_shape), (nt_bump, coef_shape[1]),
             is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
             is_condition_f=args.condition_f, is_super_model=args.super_model,
         )
-        gd = GaussianDiffusion(
-            model.apply, sched, state_shape=spec_shape, spec=spec,
+        gds.append(GaussianDiffusion(
+            model.apply, sched, state_shape=tuple(spec_shape), spec=spec,
             loss_channel_weight=rescaler,
-        )
-        gds.append(gd)
-        steps.append(jax.jit(make_train_step(gd, cfg), donate_argnums=(0,)))
+        ))
 
     x0 = jnp.zeros((args.batch,) + gds[0].state_shape)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed), x0, jnp.zeros((args.batch,), jnp.int32)
     )
     state = create_train_state(params, cfg)
-    return model, gds, steps, state, cfg
+    return model, gds, state, cfg
+
+
+def _train_with_loaders(args, gds, state, cfg, shard_paths):
+    """Shared train driver: native shard loaders -> Trainer (jitted SPMD
+    step, orbax milestones, metrics jsonl, elastic resume)."""
+    from .data.loader import MultiResolutionLoader, NativeShardLoader
+    from .train.trainer import Trainer
+
+    outdir = os.path.join(args.results, args.exp)
+    os.makedirs(outdir, exist_ok=True)
+    json.dump({k: v for k, v in vars(args).items() if k != "fn"},
+              open(os.path.join(outdir, "config.json"), "w"), indent=1)
+
+    loaders = [
+        NativeShardLoader(p, batch_size=args.batch, seed=args.seed + i)
+        for i, p in enumerate(shard_paths)
+    ]
+    data_iter = (
+        iter(MultiResolutionLoader(loaders, seed=args.seed))
+        if len(loaders) > 1
+        else iter(loaders[0])
+    )
+    trainer = Trainer(
+        gds, data_iter, cfg, state.params, outdir,
+        save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
+    )
+    if getattr(args, "resume", False):
+        restored = trainer.restore_latest()
+        if restored is not None:
+            print(f"resumed from step {restored}")
+    trainer.train(args.steps)
+    trainer.save("final")
+    for ld in loaders:
+        ld.close()
+    print("saved", outdir)
 
 
 def cmd_train_burgers(args):
-    import jax
-    import jax.numpy as jnp
-    import orbax.checkpoint as ocp
-
     from .data.burgers_data import build_training_states
+    from .data.loader import parse_npy_header
     from .data.rescalers import burgers_wavelet_rescaler
 
     db = _load_coef_db(os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}.npz"))
@@ -137,50 +164,31 @@ def cmd_train_burgers(args):
         args.wave_type, args.pad_mode, is_super_model=args.super_model,
         has_condition_channel=args.condition_u0 or args.condition_uT,
     )
-    levels = range(args.n_downsample) if args.super_model else [0]
-    states_list, coef_shapes = [], []
+    levels = list(range(args.n_downsample)) if args.super_model else [0]
+    tag = "_".join([
+        args.wave_type, args.pad_mode, "super" if args.super_model else "base",
+        f"c{int(args.condition_u0)}{int(args.condition_uT)}",
+    ])
+    shard_paths, state_shapes, coef_shapes = [], [], []
     for lvl in levels:
-        st, cs, _ = build_training_states(
-            db, level=lvl, is_super_model=args.super_model,
-            wave_type=args.wave_type, pad_mode=args.pad_mode,
-            is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
-            rescaler=rescaler,
-        )
-        states_list.append(st)
-        coef_shapes.append(cs)
-        print(f"level {lvl}: states {st.shape} coef {cs}")
+        cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
+        if not os.path.exists(cache):
+            st, cs, _ = build_training_states(
+                db, level=lvl, is_super_model=args.super_model,
+                wave_type=args.wave_type, pad_mode=args.pad_mode,
+                is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+                rescaler=rescaler,
+            )
+            np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
+            del st
+        _, _, shape, _ = parse_npy_header(cache)
+        shard_paths.append(cache)
+        state_shapes.append(shape[1:])
+        coef_shapes.append(list(db["coef"][lvl].shape[1:3]))
+        print(f"level {lvl}: shard {cache} {shape}")
 
-    model, gds, steps, state, cfg = _make_burgers_training(
-        args, states_list, coef_shapes, rescaler
-    )
-
-    outdir = os.path.join(args.results, args.exp)
-    os.makedirs(outdir, exist_ok=True)
-    json.dump({k: v for k, v in vars(args).items() if k != "fn"},
-              open(os.path.join(outdir, "config.json"), "w"), indent=1)
-    ckpt = ocp.StandardCheckpointer()
-    rng = jax.random.PRNGKey(args.seed)
-    rs = np.random.default_rng(args.seed)
-    t0 = time.time()
-    for i in range(args.steps):
-        lvl = int(rs.integers(len(states_list)))
-        arr = states_list[lvl]
-        batch = jnp.asarray(arr[rs.integers(arr.shape[0], size=args.batch)])
-        rng, sub = jax.random.split(rng)
-        state, m = steps[lvl](state, batch, sub)
-        if i % args.log_every == 0 or i == args.steps - 1:
-            rec = {"step": i, "loss": float(m["loss"]),
-                   "sps": (i + 1) / (time.time() - t0)}
-            print(rec, flush=True)
-            with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
-            ckpt.save(os.path.abspath(os.path.join(outdir, f"model-{(i+1)//args.ckpt_every}")),
-                      jax.device_get(state), force=True)
-    ckpt.save(os.path.abspath(os.path.join(outdir, "model-final")),
-              jax.device_get(state), force=True)
-    ckpt.wait_until_finished()
-    print("saved", outdir)
+    _, gds, state, cfg = _make_burgers_training(args, state_shapes, coef_shapes, rescaler)
+    _train_with_loaders(args, gds, state, cfg, shard_paths)
 
 
 def cmd_eval_burgers(args):
@@ -208,9 +216,11 @@ def cmd_eval_burgers(args):
     st0, coef_shape, ori_shape = build_training_states(
         db, level=0, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
         is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
-        rescaler=rescaler,
+        rescaler=rescaler, max_samples=1,
     )
-    model, gds, _, state, _ = _make_burgers_training(ns, [st0], [coef_shape], rescaler)
+    model, gds, state, _ = _make_burgers_training(
+        ns, [st0.shape[1:]], [coef_shape], rescaler
+    )
     ckpt = ocp.StandardCheckpointer()
     state = ckpt.restore(
         os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}")), jax.device_get(state)
@@ -306,16 +316,15 @@ def cmd_prep_smoke(args):
 def cmd_train_smoke(args):
     import jax
     import jax.numpy as jnp
-    import orbax.checkpoint as ocp
 
     from .core.conditioning import smoke_spec
     from .core.diffusion import GaussianDiffusion
     from .core.schedules import make_schedule
+    from .data.loader import parse_npy_header
     from .data.rescalers import smoke_wavelet_rescaler
     from .data.smoke_data import build_smoke_states
     from .models.unet3d import UNet3D
     from .train.state import TrainConfig, create_train_state
-    from .train.trainer import make_train_step
 
     ds_type = "space" if args.condition_control else "time"
     path = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_train.npz")
@@ -329,63 +338,48 @@ def cmd_train_smoke(args):
         "ori_shape": z["ori_shape"].tolist(),
     }
     rescaler = smoke_wavelet_rescaler(args.wave_type, is_super_model=args.super_model)
-    levels = range(args.n_downsample) if args.super_model else [0]
-    states_list, specs = [], []
+    levels = list(range(args.n_downsample)) if args.super_model else [0]
+    tag = "_".join([
+        args.wave_type, args.pad_mode, ds_type,
+        "super" if args.super_model else "base",
+    ])
+    shard_paths, specs, state_shapes = [], [], []
     for lvl in levels:
-        st, shape, ori = build_smoke_states(
-            db, level=lvl, is_super_model=args.super_model,
-            downsample_type=ds_type, rescaler=rescaler,
-        )
-        states_list.append(st)
+        cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
+        if not os.path.exists(cache):
+            st, _, _ = build_smoke_states(
+                db, level=lvl, is_super_model=args.super_model,
+                downsample_type=ds_type, rescaler=rescaler,
+            )
+            np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
+            del st
+        shape = list(db["coef"][lvl].shape[1:4])
+        _, _, full_shape, _ = parse_npy_header(cache)
         bump = (0, 2, 2) if args.condition_control else (2, 0, 0)
         cs = [shape[i] + (bump[i] if args.super_model else 0) for i in range(3)]
         specs.append(smoke_spec(
-            st.shape[1:], cs, is_condition_control=args.condition_control,
+            full_shape[1:], cs, is_condition_control=args.condition_control,
             is_super_model=args.super_model,
         ))
-        print(f"level {lvl}: states {st.shape}")
+        shard_paths.append(cache)
+        state_shapes.append(full_shape[1:])
+        print(f"level {lvl}: shard {cache} {full_shape}")
 
-    C = states_list[0].shape[-1]
+    C = state_shapes[0][-1]
     model = UNet3D(dim=args.dim, dim_mults=(1, 2, 4), channels=C,
                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     sched = make_schedule("sigmoid", args.timesteps)
     cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
                       train_num_steps=args.steps)
-    gds = [GaussianDiffusion(model.apply, sched, state_shape=states_list[i].shape[1:],
+    gds = [GaussianDiffusion(model.apply, sched, state_shape=state_shapes[i],
                              spec=specs[i], loss_channel_weight=None)
-           for i in range(len(states_list))]
-    steps_fns = [jax.jit(make_train_step(gd, cfg), donate_argnums=(0,)) for gd in gds]
+           for i in range(len(state_shapes))]
 
-    x0 = jnp.zeros((args.batch,) + states_list[0].shape[1:])
+    x0 = jnp.zeros((args.batch,) + state_shapes[0])
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
                                  jnp.zeros((args.batch,), jnp.int32))
     state = create_train_state(params, cfg)
-
-    outdir = os.path.join(args.results, args.exp)
-    os.makedirs(outdir, exist_ok=True)
-    json.dump({k: v for k, v in vars(args).items() if k != "fn"},
-              open(os.path.join(outdir, "config.json"), "w"), indent=1)
-    ckpt = ocp.StandardCheckpointer()
-    rng = jax.random.PRNGKey(args.seed)
-    rs = np.random.default_rng(args.seed)
-    t0 = time.time()
-    for i in range(args.steps):
-        lvl = int(rs.integers(len(states_list)))
-        arr = states_list[lvl]
-        batch = jnp.asarray(arr[rs.integers(arr.shape[0], size=args.batch)])
-        rng, sub = jax.random.split(rng)
-        state, m = steps_fns[lvl](state, batch, sub)
-        if i % args.log_every == 0 or i == args.steps - 1:
-            rec = {"step": i, "loss": float(m["loss"]), "sps": (i + 1) / (time.time() - t0)}
-            print(rec, flush=True)
-            with open(os.path.join(outdir, "metrics.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
-        if args.ckpt_every and (i + 1) % args.ckpt_every == 0:
-            ckpt.save(os.path.abspath(os.path.join(outdir, f"model-{(i+1)//args.ckpt_every}")),
-                      jax.device_get(state), force=True)
-    ckpt.save(os.path.abspath(os.path.join(outdir, "model-final")), jax.device_get(state), force=True)
-    ckpt.wait_until_finished()
-    print("saved", outdir)
+    _train_with_loaders(args, gds, state, cfg, shard_paths)
 
 
 def cmd_eval_smoke(args):
@@ -510,6 +504,8 @@ def main(argv=None):
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest milestone in results/exp")
     p.set_defaults(fn=cmd_train_burgers)
 
     p = _add_common(sub.add_parser("eval-burgers"))
@@ -561,6 +557,8 @@ def main(argv=None):
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10000)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the newest milestone in results/exp")
     p.set_defaults(fn=cmd_train_smoke)
 
     p = _add_common(sub.add_parser("eval-smoke"))

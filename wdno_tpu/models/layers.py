@@ -204,15 +204,16 @@ class Attention(nn.Module):
         if self.fused:
             from ..ops.attention_pallas import fused_attention
 
-            q = q.reshape((-1, n, hidden)) * (self.dim_head**-0.5)
-            k = k.reshape((-1, n, hidden))
-            v = v.reshape((-1, n, hidden))
+            qf = q.reshape((-1, n, hidden)) * (self.dim_head**-0.5)
+            kf = k.reshape((-1, n, hidden))
+            vf = v.reshape((-1, n, hidden))
             if self.use_rotary:
-                q = apply_rotary_packed(q, self.heads)
-                k = apply_rotary_packed(k, self.heads)
-            out = fused_attention(q, k, v, pos_bias, heads=self.heads)
-            out = out.reshape(lead + (n, hidden))
-            return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
+                qf = apply_rotary_packed(qf, self.heads)
+                kf = apply_rotary_packed(kf, self.heads)
+            out = fused_attention(qf, kf, vf, pos_bias, heads=self.heads)
+            if out is not None:  # None: sequence too long for the VMEM kernel
+                out = out.reshape(lead + (n, hidden))
+                return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
 
         def split(y):  # [..., N, H*D] -> [..., H, N, D]
             y = y.reshape(lead + (n, self.heads, self.dim_head))

@@ -320,6 +320,12 @@ def fused_attention(q, k, v, bias=None, *, heads: int):
     """
     n, s, c = q.shape
     assert c % heads == 0, (c, heads)
+    # Short-sequence kernel: the whole [NB, S, S] score block must fit VMEM
+    # (even at NB=8).  For longer sequences return None — the caller uses the
+    # XLA einsum path, which is fine there (scores are large enough that the
+    # (8,128) tile padding stops mattering).
+    if 8 * s * s * 4 * 5 > 8 * 1024 * 1024:
+        return None
     if bias is None:
         bias = jnp.zeros((heads, s, s), jnp.float32)
     # pad the site dim to a multiple of the block size

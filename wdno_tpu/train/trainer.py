@@ -83,8 +83,8 @@ class Trainer:
 
     def __init__(
         self,
-        diffusion: GaussianDiffusion,
-        data_iter: Iterator[np.ndarray],
+        diffusion,  # GaussianDiffusion, or a list of them (one per resolution level)
+        data_iter: Iterator,  # yields batch, or (level, batch) for multi-level
         cfg: TrainConfig,
         init_params: Any,
         results_dir: str,
@@ -94,7 +94,8 @@ class Trainer:
         log_every: int = 100,
         seed: int = 0,
     ):
-        self.diffusion = diffusion
+        diffusions = diffusion if isinstance(diffusion, (list, tuple)) else [diffusion]
+        self.diffusion = diffusions[0]
         self.data_iter = data_iter
         self.cfg = cfg
         self.results_dir = results_dir
@@ -106,12 +107,18 @@ class Trainer:
 
         state_sh, batch_sh = data_parallel_shardings(self.mesh)
         state_shardings = jax.tree_util.tree_map(lambda _: state_sh, self.state)
-        self._step = jax.jit(
-            make_train_step(diffusion, cfg),
-            in_shardings=(state_shardings, batch_sh, None),
-            out_shardings=(state_shardings, None),
-            donate_argnums=(0,),
-        )
+        # One compiled step per resolution level (static XLA shape buckets,
+        # replacing the reference SuperDataLoader's per-resolution batches).
+        self._steps = [
+            jax.jit(
+                make_train_step(gd, cfg),
+                in_shardings=(state_shardings, batch_sh, None),
+                out_shardings=(state_shardings, None),
+                donate_argnums=(0,),
+            )
+            for gd in diffusions
+        ]
+        self._step = self._steps[0]
         self._ckpt = ocp.StandardCheckpointer()
         self._rng = jax.random.PRNGKey(seed)
         self._log_path = os.path.join(results_dir, "metrics.jsonl")
@@ -165,9 +172,13 @@ class Trainer:
         last = {}
         t0 = time.time()
         for i in range(num_steps):
-            batch = jnp.asarray(next(self.data_iter))
+            item = next(self.data_iter)
+            if isinstance(item, tuple) and len(item) == 2 and np.isscalar(item[0]):
+                lvl, batch = int(item[0]), jnp.asarray(item[1])
+            else:
+                lvl, batch = 0, jnp.asarray(item)
             self._rng, rng = jax.random.split(self._rng)
-            self.state, metrics = self._step(self.state, batch, rng)
+            self.state, metrics = self._steps[lvl](self.state, batch, rng)
             step = int(self.state.step)
             if step % self.log_every == 0 or i == num_steps - 1:
                 last = {k: float(v) for k, v in metrics.items()}
