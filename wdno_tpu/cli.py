@@ -199,7 +199,7 @@ def cmd_eval_burgers(args):
     from .core.schedules import get_J_scheduler
     from .data.rescalers import burgers_wavelet_rescaler
     from .eval.burgers_eval import (
-        BurgersEvalConfig, eval_control_batch, eval_sim_batch,
+        BurgersEvalConfig, eval_control_batch, eval_sim_batch, super_res_chain,
     )
     from .eval.result_io import save_acc
 
@@ -240,6 +240,45 @@ def cmd_eval_burgers(args):
         is_condition_f=ns.condition_f,
     )
     C = st0.shape[-1]
+
+    # optional zero-shot super-resolution chain (reference eval_super_sim.sh)
+    gd_super = state_super = ecfg_super = levels = u_hi = f_hi = None
+    C_super = 0
+    if args.super_exp:
+        import dataclasses as _dc
+
+        sup_dir = os.path.join(args.results, args.super_exp)
+        ns_sup = argparse.Namespace(**json.load(open(os.path.join(sup_dir, "config.json"))))
+        res_sup = burgers_wavelet_rescaler(
+            ns_sup.wave_type, ns_sup.pad_mode, is_super_model=True,
+            has_condition_channel=ns_sup.condition_u0 or ns_sup.condition_uT,
+        )
+        st_s, cs_s, _ = build_training_states(
+            db, level=0, is_super_model=True, wave_type=ns_sup.wave_type,
+            pad_mode=ns_sup.pad_mode, is_condition_u0=ns_sup.condition_u0,
+            is_condition_uT=ns_sup.condition_uT, rescaler=res_sup, max_samples=1,
+        )
+        _, gds_s, state_super, _ = _make_burgers_training(
+            ns_sup, [st_s.shape[1:]], [cs_s], res_sup
+        )
+        state_super = ckpt.restore(
+            os.path.abspath(os.path.join(sup_dir, f"model-{args.super_checkpoint}")),
+            jax.device_get(state_super),
+        )
+        gd_super = gds_s[0]
+        gd_super.sampling_timesteps = args.ddim_steps
+        gd_super.is_ddim_sampling = True
+        gd_super.ddim_eta = args.ddim_eta
+        C_super = st_s.shape[-1]
+        ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
+        hi = np.load(args.super_data)
+        u_hi = jnp.asarray(hi["u"][: args.ntest])
+        f_hi = jnp.asarray(hi["f"][: args.ntest])
+        levels, (ot, ox) = [], tuple(ori_shape)
+        for _k in range(args.upsample):
+            ot, ox = (ot - 1) * 2 + 1, ox * 2
+            levels.append((((ot + 1) // 2, (ox + 1) // 2), (ot, ox)))
+
     results = {}
     for i in range(0, args.ntest, args.batch_eval):
         rng = jax.random.PRNGKey(i)
@@ -248,6 +287,19 @@ def cmd_eval_burgers(args):
             r = eval_sim_batch(gd, state.ema_params, rng, ecfg,
                                u_target=u_t[sl], f_raw=f_t[sl], channels=C)
             results.setdefault("ddpm_mse", []).append(r["ddpm_mse"])
+            if gd_super is not None:
+                coef = jnp.asarray(r["coef"])[:, : coef_shape[0], : coef_shape[1], :]
+                f_lvls = [
+                    f_hi[sl, :: f_hi.shape[1] // (ot_k - 1), :: f_hi.shape[2] // ox_k]
+                    for (_, (ot_k, ox_k)) in levels
+                ]
+                outs = super_res_chain(
+                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
+                    ecfg_super, coef, levels=levels, u_target=u_hi[sl],
+                    f_raw_per_level=f_lvls, channels=C_super,
+                )
+                for k2, rr in enumerate(outs):
+                    results.setdefault(f"ddpm_mse_up{k2 + 1}", []).append(rr["ddpm_mse"])
         else:
             r = eval_control_batch(
                 gd, state.ema_params, rng, ecfg, u_target=u_t[sl],
@@ -392,7 +444,9 @@ def cmd_eval_smoke(args):
     from .core.schedules import make_schedule
     from .data.rescalers import smoke_wavelet_rescaler
     from .eval.result_io import save_acc
-    from .eval.smoke_eval import SmokeEvalConfig, eval_smoke_control, eval_smoke_sim
+    from .eval.smoke_eval import (
+        SmokeEvalConfig, eval_smoke_control, eval_smoke_sim, smoke_super_res_chain,
+    )
     from .models.unet3d import UNet3D
     from .solvers.smoke.scene import make_scene
     from .train.state import TrainConfig, create_train_state
@@ -436,6 +490,33 @@ def cmd_eval_smoke(args):
         is_condition_control=ns.condition_control,
     )
     scene = make_scene()
+
+    # optional zero-shot spatial super-resolution (reference inf_super_sim.sh)
+    gd_super = state_super = ecfg_super = None
+    C_super = 0
+    if args.super_exp:
+        import dataclasses as _dc
+
+        sup_dir = os.path.join(args.results, args.super_exp)
+        ns_sup = argparse.Namespace(**json.load(open(os.path.join(sup_dir, "config.json"))))
+        C_super = 82
+        model_s = UNet3D(dim=ns_sup.dim, dim_mults=(1, 2, 4), channels=C_super,
+                         dtype=jnp.bfloat16 if ns_sup.bf16 else jnp.float32)
+        res_sup = smoke_wavelet_rescaler(ns_sup.wave_type, is_super_model=True)
+        gd_super = GaussianDiffusion(
+            model_s.apply, make_schedule("sigmoid", ns_sup.timesteps),
+            state_shape=(24, 40, 40, C_super), spec=None,
+            sampling_timesteps=args.ddim_steps, ddim_eta=args.ddim_eta,
+        )
+        x0s = jnp.zeros((1, 24, 40, 40, C_super))
+        params_s = jax.jit(model_s.init)(jax.random.PRNGKey(0), x0s, jnp.zeros((1,), jnp.int32))
+        state_super = create_train_state(params_s, TrainConfig())
+        state_super = ckpt.restore(
+            os.path.abspath(os.path.join(sup_dir, f"model-{args.super_checkpoint}")),
+            jax.device_get(state_super),
+        )
+        ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
+
     results = {}
     keys = ("J_total", "J_target", "J_energy", "mse", "mse_wo_smoke", "n_l2")
     for i in range(0, test_state.shape[0], args.batch_eval):
@@ -444,6 +525,18 @@ def cmd_eval_smoke(args):
         if is_sim:
             r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
                                test_state=chunk[:, :32], channels=C)
+            if gd_super is not None:
+                outs = smoke_super_res_chain(
+                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
+                    ecfg_super, jnp.asarray(r["coef"]),
+                    test_state_hi=chunk[:, :32], n_levels=args.upsample,
+                    channels=C_super, base_pred=jnp.asarray(r["pred"]),
+                )
+                for k2, rr in enumerate(outs):
+                    for mk in ("mse", "n_l2", "mse_nearest_sr", "mse_linear_sr",
+                               "n_l2_nearest_sr", "n_l2_linear_sr"):
+                        if mk in rr:
+                            results.setdefault(f"{mk}_up{k2 + 1}", []).append(rr[mk])
         else:
             big = jnp.repeat(chunk[:, :32], 8, axis=1) if chunk.shape[1] < 256 else chunk
             r = eval_smoke_control(
@@ -520,6 +613,12 @@ def main(argv=None):
     p.add_argument("--wu", type=float, default=120000.0)
     p.add_argument("--wf", type=float, default=2e-5)
     p.add_argument("--J_scheduler", type=str, default="cosine")
+    p.add_argument("--super_exp", type=str, default=None,
+                   help="super-model exp dir: run the zero-shot SR chain")
+    p.add_argument("--super_checkpoint", type=str, default="final")
+    p.add_argument("--super_data", type=str, default="data/1d_super/test.npz",
+                   help="high-resolution test set for SR ground truth")
+    p.add_argument("--upsample", type=int, default=3, help="SR doublings")
     p.set_defaults(fn=cmd_eval_burgers)
 
     p = _add_common(sub.add_parser("datagen-smoke"))
@@ -574,6 +673,10 @@ def main(argv=None):
     p.add_argument("--standard_fixed_ratio", type=float, default=100.0)
     p.add_argument("--w_init", type=float, default=0.1)
     p.add_argument("--w_energy", type=float, default=0.0)
+    p.add_argument("--super_exp", type=str, default=None,
+                   help="super-model exp dir: run the zero-shot spatial SR chain")
+    p.add_argument("--super_checkpoint", type=str, default="final")
+    p.add_argument("--upsample", type=int, default=1, help="SR doublings")
     p.set_defaults(fn=cmd_eval_smoke)
 
     args = ap.parse_args(argv)

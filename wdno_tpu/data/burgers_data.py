@@ -49,11 +49,25 @@ def generate_burgers_dataset(
     alpha: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Generate ``{u: [N, nt+1, nx], f: [N, nt, nx]}`` with the reference's
-    data distribution and solver precision (16x space-time,
-    ``scripts/burgers/burgers_data.sh``)."""
-    s = nx * super_factor
-    t_f = nt * super_factor
-    dt = 1.0 / 76800
+    data distribution and solver precision.
+
+    The solver ALWAYS runs on its native grid — s=1920 interior points,
+    dt=1/76800 (16x the base 80x120 dataset, ``burgers_data.sh``); datasets
+    at other resolutions are coarser/finer *recordings* of that solve, not
+    rescaled solves.  This matters for stability: the explicit diffusion
+    term has r = visc*dt/dx^2 = 0.48 exactly at s=1920 — solving on a finer
+    grid at the same dt diverges.  ``super_factor`` scales the native grid
+    relative to the base resolution (16 = reference).
+    """
+    s = 120 * super_factor
+    t_f = 80 * super_factor
+    if s % nx or t_f % nt:
+        raise ValueError(
+            f"(nt={nt}, nx={nx}) must divide the solver-native grid "
+            f"({t_f}, {s}); reference resolutions are nx in {{120,...,1920}} "
+            f"dividing 1920 and nt dividing 1280"
+        )
+    dt = 1.0 / 76800 * (1920 / s) ** 2  # diffusion-stability scaling
     rng = jax.random.PRNGKey(seed)
     us, fs = [], []
 
@@ -201,7 +215,7 @@ def build_training_states(
     ori_x = math.ceil(db["ori_shape"][0][1] / 2**level)
     pad = 64 // 2**level
 
-    data = P.pad_to(coef, (pad, pad), axes=(1, 2))  # [N, pad, pad, 8]
+    data = np.array(P.pad_to(coef, (pad, pad), axes=(1, 2)))  # [N, pad, pad, 8] (writable copy)
 
     if is_super_model:
         sub = db["coef"][level + 1][:max_samples]

@@ -351,4 +351,6 @@ def eval_smoke_sim(
     pred = pred.at[:, 0, 0].set(d0)
     m = smoke_sim_metrics(pred, base)
     m["pred"] = np.asarray(pred)
+    ft, fh, fw = cfg.coef_shape
+    m["coef"] = np.asarray((x * jnp.asarray(cfg.rescaler))[:, :ft, :fh, :fw, :40])
     return m

@@ -47,7 +47,7 @@ def burgers_solve(
     visc: float = VISC,
     T: float = 8.0,
     num_t: int = 80,
-    dt: float = 1.0 / 76800,
+    dt: float | None = None,
     s: int = 120 * 16,
     output_space_downsample: bool = True,
 ) -> Array:
@@ -71,6 +71,11 @@ def burgers_solve(
     explicit Euler update ``u += dt * (-1/2 d(u^2)/dx + visc d2u/dx2 + f)``
     with zero boundary halo.
     """
+    if dt is None:
+        # explicit diffusion stability: r = visc*dt/dx^2 = 0.48 at the
+        # reference-native (s=1920, dt=1/76800); scale dt quadratically for
+        # other grids so r stays fixed.
+        dt = 1.0 / 76800 * (1920.0 / s) ** 2
     N, nx0 = u0.shape
     nt_f = f.shape[1]
     sub_s = s // u0.shape[-1]
