@@ -80,12 +80,13 @@ def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
     import jax
     import jax.numpy as jnp
 
-    from .core.conditioning import burgers_wavelet_spec
+    from .core.conditioning import burgers_raw_spec, burgers_wavelet_spec
     from .core.diffusion import GaussianDiffusion
     from .core.schedules import make_schedule
     from .models.unet2d import UNet2D
     from .train.state import TrainConfig, create_train_state
 
+    is_wavelet = getattr(args, "wavelet", True)
     C = state_shapes[0][-1]
     model = UNet2D(
         dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
@@ -100,15 +101,22 @@ def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
     )
     gds = []
     for spec_shape, coef_shape in zip(state_shapes, coef_shapes):
-        nt_bump = coef_shape[0] + (1 if args.super_model else 0)
-        spec = burgers_wavelet_spec(
-            tuple(spec_shape), (nt_bump, coef_shape[1]),
-            is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
-            is_condition_f=args.condition_f, is_super_model=args.super_model,
-        )
+        if is_wavelet:
+            nt_bump = coef_shape[0] + (1 if args.super_model else 0)
+            spec = burgers_wavelet_spec(
+                tuple(spec_shape), (nt_bump, coef_shape[1]),
+                is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+                is_condition_f=args.condition_f, is_super_model=args.super_model,
+            )
+        else:
+            spec = burgers_raw_spec(
+                tuple(spec_shape), tuple(coef_shape),
+                is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+                is_condition_f=args.condition_f, is_super_model=args.super_model,
+            )
         gds.append(GaussianDiffusion(
             model.apply, sched, state_shape=tuple(spec_shape), spec=spec,
-            loss_channel_weight=rescaler,
+            loss_channel_weight=rescaler if is_wavelet else None,
         ))
 
     x0 = jnp.zeros((args.batch,) + gds[0].state_shape)
@@ -155,40 +163,64 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
 
 
 def cmd_train_burgers(args):
-    from .data.burgers_data import build_training_states
+    from .data.burgers_data import build_raw_states, build_training_states
     from .data.loader import parse_npy_header
     from .data.rescalers import burgers_wavelet_rescaler
 
-    db = _load_coef_db(os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}.npz"))
-    rescaler = burgers_wavelet_rescaler(
-        args.wave_type, args.pad_mode, is_super_model=args.super_model,
-        has_condition_channel=args.condition_u0 or args.condition_uT,
-    )
     levels = list(range(args.n_downsample)) if args.super_model else [0]
-    tag = "_".join([
-        args.wave_type, args.pad_mode, "super" if args.super_model else "base",
-        f"c{int(args.condition_u0)}{int(args.condition_uT)}",
-    ])
     shard_paths, state_shapes, coef_shapes = [], [], []
-    for lvl in levels:
-        cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
-        if not os.path.exists(cache):
-            st, cs, _ = build_training_states(
-                db, level=lvl, is_super_model=args.super_model,
-                wave_type=args.wave_type, pad_mode=args.pad_mode,
-                is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
-                rescaler=rescaler,
+    if args.wavelet:
+        db = _load_coef_db(os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}.npz"))
+        rescaler = burgers_wavelet_rescaler(
+            args.wave_type, args.pad_mode, is_super_model=args.super_model,
+            has_condition_channel=args.condition_u0 or args.condition_uT,
+        )
+        tag = "_".join([
+            args.wave_type, args.pad_mode, "super" if args.super_model else "base",
+            f"c{int(args.condition_u0)}{int(args.condition_uT)}",
+        ])
+        for lvl in levels:
+            cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
+            if not os.path.exists(cache):
+                st, cs, _ = build_training_states(
+                    db, level=lvl, is_super_model=args.super_model,
+                    wave_type=args.wave_type, pad_mode=args.pad_mode,
+                    is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
+                    rescaler=rescaler,
+                )
+                np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
+                del st
+            _, _, shape, _ = parse_npy_header(cache)
+            shard_paths.append(cache)
+            state_shapes.append(shape[1:])
+            coef_shapes.append(list(db["coef"][lvl].shape[1:3]))
+            print(f"level {lvl}: shard {cache} {shape}")
+    else:  # raw (non-wavelet) mode, reference --is_wavelet False
+        rescaler = None
+        data = np.load(os.path.join(args.data, "train.npz"))
+        tag = "raw_" + ("super" if args.super_model else "base")
+        for lvl in levels:
+            cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
+            if not os.path.exists(cache):
+                st, cs, _ = build_raw_states(
+                    data["u"], data["f"], level=lvl, is_super_model=args.super_model,
+                )
+                np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
+                del st
+            _, _, shape, _ = parse_npy_header(cache)
+            shard_paths.append(cache)
+            state_shapes.append(shape[1:])
+            coef_shapes.append(
+                [math_ceil(data["u"].shape[1], 2**lvl), math_ceil(data["u"].shape[2], 2**lvl)]
             )
-            np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
-            del st
-        _, _, shape, _ = parse_npy_header(cache)
-        shard_paths.append(cache)
-        state_shapes.append(shape[1:])
-        coef_shapes.append(list(db["coef"][lvl].shape[1:3]))
-        print(f"level {lvl}: shard {cache} {shape}")
+            print(f"level {lvl}: shard {cache} {shape}")
 
     _, gds, state, cfg = _make_burgers_training(args, state_shapes, coef_shapes, rescaler)
     _train_with_loaders(args, gds, state, cfg, shard_paths)
+
+
+def math_ceil(n: int, d: int) -> int:
+    return -(-n // d)
 
 
 def cmd_eval_burgers(args):
@@ -377,6 +409,33 @@ def cmd_train_smoke(args):
     from .data.smoke_data import build_smoke_states
     from .models.unet3d import UNet3D
     from .train.state import TrainConfig, create_train_state
+
+    if not args.wavelet:  # raw mode: [32, 64, 64, 6] states, reference Smoke dataset
+        from .data.smoke_data import build_smoke_raw_states
+
+        if args.super_model:
+            raise SystemExit("raw (non-wavelet) mode has no super model (reference parity)")
+        z = np.load(os.path.join(args.data, "train.npz"))
+        cache = os.path.join(args.data, "states_raw.npy")
+        if not os.path.exists(cache):
+            st = build_smoke_raw_states({k: z[k] for k in z.files})
+            np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
+            del st
+        _, _, full_shape, _ = parse_npy_header(cache)
+        spec = smoke_spec(full_shape[1:], full_shape[1:4], is_wavelet=False,
+                          is_condition_control=args.condition_control)
+        model = UNet3D(dim=args.dim, dim_mults=(1, 2, 4), channels=full_shape[-1],
+                       dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+        sched = make_schedule("sigmoid", args.timesteps)
+        cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
+                          train_num_steps=args.steps)
+        gd = GaussianDiffusion(model.apply, sched, state_shape=full_shape[1:], spec=spec)
+        x0 = jnp.zeros((args.batch,) + full_shape[1:])
+        params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
+                                     jnp.zeros((args.batch,), jnp.int32))
+        state = create_train_state(params, cfg)
+        _train_with_loaders(args, [gd], state, cfg, [cache])
+        return
 
     ds_type = "space" if args.condition_control else "time"
     path = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_train.npz")
@@ -579,6 +638,8 @@ def main(argv=None):
     p = _add_common(sub.add_parser("train-burgers"))
     p.add_argument("--data", type=str, default="data/1d")
     p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--wavelet", type=lambda s: s == "True", default=True,
+                   help="False: raw (non-wavelet) physical-space states")
     p.add_argument("--wave_type", type=str, default="bior2.4")
     p.add_argument("--pad_mode", type=str, default="periodization")
     p.add_argument("--dim", type=int, default=128)
@@ -643,6 +704,8 @@ def main(argv=None):
     p = _add_common(sub.add_parser("train-smoke"))
     p.add_argument("--data", type=str, default="data/2d")
     p.add_argument("--exp", type=str, default="base_sim")
+    p.add_argument("--wavelet", type=lambda s: s == "True", default=True,
+                   help="False: raw (non-wavelet) physical-space states")
     p.add_argument("--wave_type", type=str, default="bior1.3")
     p.add_argument("--pad_mode", type=str, default="zero")
     p.add_argument("--dim", type=int, default=64)
