@@ -90,7 +90,8 @@ class ConvBlock(nn.Module):
     def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
         k = (3,) * self.spatial_rank
         x = nn.Conv(self.dim_out, k, padding="SAME", dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype)(x)
+        # epsilon matches torch GroupNorm (1e-5) for checkpoint-conversion parity
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             bshape = (scale.shape[0],) + (1,) * self.spatial_rank + (scale.shape[-1],)
@@ -190,6 +191,9 @@ class Attention(nn.Module):
     dim_head: int = 32
     use_rotary: bool = False
     fused: bool = True
+    # the reference's 2D full attention projects out with bias
+    # (unet.py to_out Conv2d), its 3D temporal attention without
+    out_bias: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -213,7 +217,7 @@ class Attention(nn.Module):
             out = fused_attention(qf, kf, vf, pos_bias, heads=self.heads)
             if out is not None:  # None: sequence too long for the VMEM kernel
                 out = out.reshape(lead + (n, hidden))
-                return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
+                return nn.Dense(c, use_bias=self.out_bias, dtype=self.dtype)(out)
 
         def split(y):  # [..., N, H*D] -> [..., H, N, D]
             y = y.reshape(lead + (n, self.heads, self.dim_head))
@@ -231,7 +235,7 @@ class Attention(nn.Module):
         attn = jax.nn.softmax(sim.astype(jnp.float32), axis=-1).astype(sim.dtype)
         out = jnp.einsum("...hij,...hjd->...hid", attn, v)
         out = jnp.moveaxis(out, -3, -2).reshape(lead + (n, hidden))
-        return nn.Dense(c, use_bias=False, dtype=self.dtype)(out)
+        return nn.Dense(c, use_bias=self.out_bias, dtype=self.dtype)(out)
 
 
 def apply_rotary(x: Array, theta: float = 10000.0) -> Array:

@@ -51,7 +51,9 @@ class _PreNormAttn2D(nn.Module):
         b, h, w, c = x.shape
         y = ChannelLayerNorm(dtype=self.dtype)(x)
         y = y.reshape(b, h * w, c)
-        y = Attention(heads=self.heads, dim_head=self.dim_head, dtype=self.dtype)(y)
+        y = Attention(
+            heads=self.heads, dim_head=self.dim_head, out_bias=True, dtype=self.dtype
+        )(y)
         return x + y.reshape(b, h, w, c)
 
 
