@@ -140,3 +140,25 @@ def test_dryrun_multichip_cpu8():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_global_batch_from_host_local_single_process():
+    """Single-process path of the multi-host input assembly: the local rows
+    are the whole batch and the result is sharded over the data axis."""
+    from wdno_tpu.parallel.distributed import (
+        global_batch_from_host_local, process_batch_slice,
+    )
+    from wdno_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() < 2:
+        pytest.skip("needs multi-device mesh")
+    mesh = make_mesh(model=1)
+    gb = 16
+    sl = process_batch_slice(gb)
+    assert sl == slice(0, 16)  # single process owns everything
+    local = np.arange(gb * 4, dtype=np.float32).reshape(gb, 4)
+    arr = global_batch_from_host_local(local[sl], mesh)
+    assert arr.shape == (gb, 4)
+    np.testing.assert_array_equal(np.asarray(arr), local)
+    # genuinely sharded over 'data'
+    assert len(arr.sharding.device_set) == jax.device_count()
