@@ -88,3 +88,27 @@ def test_unet2d_grad_flows():
     norms = [float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g)]
     assert all(np.isfinite(norms))
     assert sum(n > 0 for n in norms) > len(norms) * 0.9  # nearly all params receive grad
+
+
+def test_temporal_decomp_conv3d_matches_conv3d():
+    """The batched-2D decomposition is numerically a (kd,kh,kw) conv3d."""
+    import flax.linen as nn
+    from wdno_tpu.models.layers import TemporalDecompConv3d
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 8, 5)), jnp.float32)
+    for ks, strides, pad in [
+        ((3, 3, 3), (1, 1, 1), "SAME"),
+        ((7, 7, 7), (1, 1, 1), "SAME"),
+        ((1, 4, 4), (1, 2, 2), ((0, 0), (1, 1), (1, 1))),
+    ]:
+        ref = nn.Conv(7, ks, strides=strides, padding=pad,
+                      precision=jax.lax.Precision.HIGHEST)
+        fast = TemporalDecompConv3d(7, ks, strides=strides, padding=pad)
+        p = ref.init(jax.random.PRNGKey(1), x)
+        o_ref = ref.apply(p, x)
+        o_fast = fast.apply(p, x)
+        assert o_ref.shape == o_fast.shape, (ks, o_ref.shape, o_fast.shape)
+        np.testing.assert_allclose(
+            np.asarray(o_fast), np.asarray(o_ref), atol=2e-4, err_msg=str(ks)
+        )

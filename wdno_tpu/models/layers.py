@@ -77,6 +77,70 @@ class ChannelRMSNorm(nn.Module):
         return out.astype(self.dtype)
 
 
+class TemporalDecompConv3d(nn.Module):
+    """3D conv evaluated as one batched 2D conv + temporal shift-add.
+
+    XLA's TPU lowering of true 3D convolutions measures ~4x slower than the
+    equivalent batched 2D form at the smoke model's shapes.  A (kd, kh, kw)
+    conv over [B, F, H, W, C] equals: fold F into the batch, run ONE 2D conv
+    producing kd*features channels (all temporal taps at once on the MXU),
+    then sum the taps with static temporal shifts:
+        o[f] = sum_dt y[f + dt - kd//2, ..., tap dt].
+
+    Parameter shape/naming is identical to ``nn.Conv`` with a (kd, kh, kw)
+    kernel, so checkpoints and the torch converter are unaffected.
+    Temporal stride must be 1 (true everywhere in the reference model;
+    spatial strides are supported).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kd, kh, kw = self.kernel_size
+        assert self.strides[0] == 1, "temporal stride must be 1"
+        b, f, hh, ww, c = x.shape
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(batch_axis=(), in_axis=-2, out_axis=-1),
+            (kd, kh, kw, c, self.features),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if self.padding == "SAME":
+            pad2d = "SAME"
+        else:  # explicit ((dlo,dhi),(hlo,hhi),(wlo,whi)); temporal handled here
+            assert tuple(self.padding[0]) == (0, 0) or kd == 1
+            pad2d = tuple(self.padding[1:])
+
+        xf = x.reshape(b * f, hh, ww, c).astype(self.dtype)
+        k2 = jnp.transpose(jnp.asarray(kernel, self.dtype), (1, 2, 3, 0, 4))
+        k2 = k2.reshape(kh, kw, c, kd * self.features)
+        dn = jax.lax.conv_dimension_numbers(xf.shape, k2.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            xf, k2, self.strides[1:], pad2d, dimension_numbers=dn
+        )
+        ho, wo = y.shape[1], y.shape[2]
+        y = y.reshape(b, f, ho, wo, kd, self.features)
+        if kd == 1:
+            out = y[:, :, :, :, 0]
+        else:
+            ctr = kd // 2
+            ypad = jnp.pad(y, ((0, 0), (ctr, ctr), (0, 0), (0, 0), (0, 0), (0, 0)))
+            out = ypad[:, 0 : f, :, :, 0]
+            for dt in range(1, kd):
+                out = out + ypad[:, dt : dt + f, :, :, dt]
+        if self.use_bias:
+            out = out + jnp.asarray(bias, self.dtype)
+        return out
+
+
 class ConvBlock(nn.Module):
     """Conv(k3) -> GroupNorm -> FiLM -> SiLU over any spatial rank
     (reference ``unet.py:129-148`` / ``conv3d.py:189-204``)."""
@@ -89,7 +153,12 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
         k = (3,) * self.spatial_rank
-        x = nn.Conv(self.dim_out, k, padding="SAME", dtype=self.dtype)(x)
+        if self.spatial_rank == 3:
+            # batched-2D decomposition: ~4x faster than XLA's conv3d on TPU,
+            # identical parameters (name pinned to keep the tree stable)
+            x = TemporalDecompConv3d(self.dim_out, k, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.dim_out, k, padding="SAME", dtype=self.dtype)(x)
         # epsilon matches torch GroupNorm (1e-5) for checkpoint-conversion parity
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
         if scale_shift is not None:

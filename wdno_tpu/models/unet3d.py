@@ -25,6 +25,7 @@ from .layers import (
     LinearAttention,
     RelativePositionBias,
     ResnetBlock,
+    TemporalDecompConv3d,
     TimeMLP,
 )
 
@@ -111,7 +112,10 @@ class UNet3D(nn.Module):
 
         x = x.astype(self.dtype)
         ks = self.init_kernel_size
-        x = nn.Conv(self.dim, (ks, ks, ks), padding="SAME", dtype=self.dtype)(x)
+        x = TemporalDecompConv3d(
+            self.dim, (ks, ks, ks), dtype=self.dtype, name="Conv_0"
+        )(x)
+        conv_i = 1
         x = _TemporalAttention(self.attn_heads, self.attn_dim_head, self.dtype)(x, pos_bias)
         r = x
 
@@ -134,13 +138,15 @@ class UNet3D(nn.Module):
             h.append(x)
             if not is_last:
                 # spatial-only strided conv (1,4,4)/(1,2,2), reference conv3d.py:162-163
-                x = nn.Conv(
+                x = TemporalDecompConv3d(
                     dim_out,
                     (1, 4, 4),
                     strides=(1, 2, 2),
                     padding=((0, 0), (1, 1), (1, 1)),
                     dtype=self.dtype,
+                    name=f"Conv_{conv_i}",
                 )(x)
+                conv_i += 1
 
         mid_dim = dims[-1]
         x = block(mid_dim)(x, t)
@@ -163,5 +169,5 @@ class UNet3D(nn.Module):
 
         x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(self.dim, groups=self.resnet_groups, spatial_rank=3, dtype=self.dtype)(x)
-        x = nn.Conv(out_dim, (1, 1, 1), dtype=jnp.float32)(x)
+        x = nn.Conv(out_dim, (1, 1, 1), dtype=jnp.float32, name=f"Conv_{conv_i}")(x)
         return x.astype(jnp.float32)
