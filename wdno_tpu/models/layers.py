@@ -141,6 +141,38 @@ class TemporalDecompConv3d(nn.Module):
         return out
 
 
+class SpatialConvTranspose3d(nn.Module):
+    """Spatial-only transposed 3D conv ((1, kh, kw), temporal stride 1) as a
+    batched 2D transposed conv over [B*F, H, W, C] — same 4x-class win over
+    XLA's conv3d path as :class:`TemporalDecompConv3d`; parameters identical
+    to ``nn.ConvTranspose`` with a (1, kh, kw) kernel."""
+
+    features: int
+    kernel_size: Tuple[int, int, int] = (1, 4, 4)
+    strides: Tuple[int, int, int] = (1, 2, 2)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kd, kh, kw = self.kernel_size
+        assert kd == 1 and self.strides[0] == 1, "temporal extent must be 1"
+        b, f, hh, ww, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (kd, kh, kw, c, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xf = x.reshape(b * f, hh, ww, c).astype(self.dtype)
+        y = jax.lax.conv_transpose(
+            xf,
+            jnp.asarray(kernel[0], self.dtype),
+            self.strides[1:],
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y + jnp.asarray(bias, self.dtype)
+        return y.reshape(b, f, y.shape[1], y.shape[2], self.features)
+
+
 class ConvBlock(nn.Module):
     """Conv(k3) -> GroupNorm -> FiLM -> SiLU over any spatial rank
     (reference ``unet.py:129-148`` / ``conv3d.py:189-204``)."""

@@ -25,6 +25,7 @@ from .layers import (
     LinearAttention,
     RelativePositionBias,
     ResnetBlock,
+    SpatialConvTranspose3d,
     TemporalDecompConv3d,
     TimeMLP,
 )
@@ -163,8 +164,9 @@ class UNet3D(nn.Module):
             x = _TemporalAttention(self.attn_heads, self.attn_dim_head, self.dtype)(x, pos_bias)
             if not is_last:
                 # spatial-only transposed conv 2x (reference conv3d.py:159-160)
-                x = nn.ConvTranspose(
-                    dim_in, (1, 4, 4), strides=(1, 2, 2), padding="SAME", dtype=self.dtype
+                x = SpatialConvTranspose3d(
+                    dim_in, (1, 4, 4), strides=(1, 2, 2), dtype=self.dtype,
+                    name=f"ConvTranspose_{i}",
                 )(x)
 
         x = jnp.concatenate([x, r], axis=-1)
