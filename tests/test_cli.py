@@ -1,0 +1,67 @@
+"""End-to-end CLI pipeline test (tiny scales, CPU).
+
+Exercises the L5/L6 surface the reference drives via shell scripts
+(``scripts/burgers/*.sh``): datagen -> prep -> train -> eval through
+``wdno_tpu.cli.main``, plus the duplicate-experiment-id guard
+(reference ``log_exp``, ``train_ddpm_burgers.py:203-217``).
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from wdno_tpu.cli import main
+
+
+@pytest.fixture(scope="module")
+def pipeline_dirs(tmp_path_factory):
+    data = str(tmp_path_factory.mktemp("data1d"))
+    results = str(tmp_path_factory.mktemp("results"))
+    return data, results
+
+
+def _train_argv(data, results, extra=()):
+    return [
+        "train-burgers", "--data", data, "--results", results,
+        "--exp", "cli_test",
+        "--dim", "8", "--dim_mults", "1", "2",
+        "--batch", "8", "--steps", "4", "--timesteps", "10",
+        "--bf16", "False", "--log_every", "2", "--ckpt_every", "0",
+        *extra,
+    ]
+
+
+def test_cli_burgers_pipeline(pipeline_dirs):
+    data, results = pipeline_dirs
+
+    # datagen at 2x solver precision (9.6k FD steps; CPU-fast)
+    main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+          "--super_factor", "2", "--batch", "32", "--out", data])
+    z = np.load(os.path.join(data, "train.npz"))
+    assert z["u"].shape == (24, 81, 120) and z["f"].shape == (24, 80, 120)
+    assert np.isfinite(z["u"]).all()
+
+    main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+    coef = np.load(os.path.join(data, "coef_bior2.4_periodization.npz"))
+    assert coef["coef_0"].shape[1:] == (41, 60, 8)
+
+    main(_train_argv(data, results))
+    exp = os.path.join(results, "cli_test")
+    assert os.path.exists(os.path.join(exp, "config.json"))
+    assert os.path.exists(os.path.join(exp, "model-final"))
+    metrics = [json.loads(l) for l in open(os.path.join(exp, "metrics.jsonl"))]
+    assert metrics and np.isfinite(metrics[-1]["loss"])
+
+    # duplicate-exp-id guard: refuse without --resume/--overwrite
+    with pytest.raises(SystemExit):
+        main(_train_argv(data, results))
+    main(_train_argv(data, results, extra=("--overwrite",)))
+
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "cli_test", "--task", "sim", "--checkpoint", "final",
+          "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
+    res = json.load(open(os.path.join(exp, "eval_results.json")))
+    mse = res["sim"]["ddpm_mse"]["mean"]
+    assert np.isfinite(mse)

@@ -135,8 +135,21 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
 
     outdir = os.path.join(args.results, args.exp)
     os.makedirs(outdir, exist_ok=True)
+    # Duplicate-experiment-id guard (reference ``log_exp``,
+    # ``train_ddpm_burgers.py:203-217`` raises on a reused exp id): refuse to
+    # silently overwrite an existing experiment unless resuming or forced.
+    cfg_path = os.path.join(outdir, "config.json")
+    if (
+        os.path.exists(cfg_path)
+        and not getattr(args, "resume", False)
+        and not getattr(args, "overwrite", False)
+    ):
+        raise SystemExit(
+            f"experiment id '{args.exp}' already exists at {outdir}; "
+            "pass --resume to continue it or --overwrite to replace it"
+        )
     json.dump({k: v for k, v in vars(args).items() if k != "fn"},
-              open(os.path.join(outdir, "config.json"), "w"), indent=1)
+              open(cfg_path, "w"), indent=1)
 
     loaders = [
         NativeShardLoader(p, batch_size=args.batch, seed=args.seed + i)
@@ -660,6 +673,8 @@ def main(argv=None):
     p.add_argument("--ckpt_every", type=int, default=10000)
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest milestone in results/exp")
+    p.add_argument("--overwrite", action="store_true",
+                   help="replace an existing experiment id")
     p.set_defaults(fn=cmd_train_burgers)
 
     p = _add_common(sub.add_parser("eval-burgers"))
@@ -721,6 +736,8 @@ def main(argv=None):
     p.add_argument("--ckpt_every", type=int, default=10000)
     p.add_argument("--resume", action="store_true",
                    help="resume from the newest milestone in results/exp")
+    p.add_argument("--overwrite", action="store_true",
+                   help="replace an existing experiment id")
     p.set_defaults(fn=cmd_train_smoke)
 
     p = _add_common(sub.add_parser("eval-smoke"))
