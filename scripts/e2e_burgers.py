@@ -89,12 +89,18 @@ def main():
 
     rng = jax.random.PRNGKey(1)
     rs = np.random.default_rng(0)
+    # keep the dataset device-resident when it fits: indexing on device beats
+    # shipping a fresh batch over the (possibly slow) host link every step
+    on_device = states.nbytes < 4e9
+    states_d = jnp.asarray(states) if on_device else states
     import time
     t0 = time.time()
     for i in range(args.steps):
         idx = rs.integers(states.shape[0], size=args.batch)
         rng, sub = jax.random.split(rng)
-        tstate, m = step(tstate, jnp.asarray(states[idx]), sub)
+        batch = jnp.take(states_d, jnp.asarray(idx), axis=0) if on_device \
+            else jnp.asarray(states[idx])
+        tstate, m = step(tstate, batch, sub)
         if i % 200 == 0 or i == args.steps - 1:
             print(f"   step {i} loss {float(m['loss']):.4f} ({(i+1)/(time.time()-t0):.2f} it/s)", flush=True)
 
