@@ -53,6 +53,23 @@ def test_loader_samples_valid_rows(shard):
     ld.close()
 
 
+def test_device_resident_loader(shard):
+    from wdno_tpu.data.loader import DeviceResidentLoader
+
+    path, arr = shard
+    ld = DeviceResidentLoader(path, batch_size=16, seed=1)
+    seen = set()
+    for _ in range(30):
+        b = np.asarray(ld.next())
+        assert b.shape == (16, 8, 8, 3)
+        sig = b[:, 0, 0, 0]
+        for s, row in zip(sig, b):
+            np.testing.assert_array_equal(row, arr[int(s)])
+        seen.update(int(s) for s in sig)
+    assert len(seen) > 150
+    ld.close()
+
+
 def test_multi_resolution_loader(shard):
     path, _ = shard
     l0 = NativeShardLoader(path, batch_size=4, seed=2)

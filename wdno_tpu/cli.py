@@ -151,8 +151,24 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
     json.dump({k: v for k, v in vars(args).items() if k != "fn"},
               open(cfg_path, "w"), indent=1)
 
+    # Device-resident input when the dataset fits in HBM on a single chip
+    # (no per-step host->device transfer); host mmap+prefetch loaders
+    # otherwise and on multi-device meshes.
+    import jax
+
+    from .data.loader import DeviceResidentLoader
+
+    total_bytes = sum(os.path.getsize(p) for p in shard_paths)
+    use_device = (
+        not getattr(args, "host_data", False)
+        and jax.device_count() == 1
+        and total_bytes < 6e9
+    )
+    loader_cls = DeviceResidentLoader if use_device else NativeShardLoader
+    print(f"input pipeline: {'device-resident' if use_device else 'host shards'} "
+          f"({total_bytes / 1e9:.2f} GB)")
     loaders = [
-        NativeShardLoader(p, batch_size=args.batch, seed=args.seed + i)
+        loader_cls(p, batch_size=args.batch, seed=args.seed + i)
         for i, p in enumerate(shard_paths)
     ]
     data_iter = (
@@ -675,6 +691,8 @@ def main(argv=None):
                    help="resume from the newest milestone in results/exp")
     p.add_argument("--overwrite", action="store_true",
                    help="replace an existing experiment id")
+    p.add_argument("--host_data", action="store_true",
+                   help="force host shard loaders (skip device-resident input)")
     p.set_defaults(fn=cmd_train_burgers)
 
     p = _add_common(sub.add_parser("eval-burgers"))
@@ -738,6 +756,8 @@ def main(argv=None):
                    help="resume from the newest milestone in results/exp")
     p.add_argument("--overwrite", action="store_true",
                    help="replace an existing experiment id")
+    p.add_argument("--host_data", action="store_true",
+                   help="force host shard loaders (skip device-resident input)")
     p.set_defaults(fn=cmd_train_smoke)
 
     p = _add_common(sub.add_parser("eval-smoke"))

@@ -152,6 +152,54 @@ class NativeShardLoader:
             pass
 
 
+class DeviceResidentLoader:
+    """Batch sampler that keeps the WHOLE shard in device HBM.
+
+    The shard is uploaded once; each ``next()`` is an on-device gather, so
+    no bytes cross the host link in the training hot loop.  This is the
+    TPU-idiomatic input path for datasets that fit in HBM (both reference
+    workloads do at their published scales after wavelet packing) and
+    removes the transfer bottleneck entirely on hosts with a slow link to
+    the chip.  Single-device placement; the sharded-mesh path keeps the
+    host-side :class:`NativeShardLoader`.
+    """
+
+    def __init__(self, path_or_array, batch_size: int, seed: int = 0, device=None):
+        import jax
+        import jax.numpy as jnp
+
+        if isinstance(path_or_array, (str, os.PathLike)):
+            arr = np.load(str(path_or_array), mmap_mode="r")
+            self.path = str(path_or_array)
+        else:
+            arr = np.asarray(path_or_array)
+            self.path = None
+        if arr.ndim < 1 or arr.shape[0] == 0:
+            raise ValueError("empty shard")
+        self.batch_size = int(batch_size)
+        self.n_items = int(arr.shape[0])
+        self.item_shape = tuple(arr.shape[1:])
+        self.dtype = arr.dtype
+        self._data = jax.device_put(np.ascontiguousarray(arr), device)
+        self._rng = np.random.default_rng(seed)
+        self._take = jax.jit(lambda d, i: jnp.take(d, i, axis=0))
+
+    @property
+    def native(self) -> bool:
+        return False
+
+    def next(self):
+        idx = self._rng.integers(0, self.n_items, self.batch_size)
+        return self._take(self._data, idx)
+
+    def __iter__(self):
+        while True:
+            yield self.next()
+
+    def close(self):
+        self._data = None
+
+
 class MultiResolutionLoader:
     """SuperDataLoader-equivalent: each ``next()`` picks one resolution level
     uniformly at random and returns ``(level, batch)`` drawn wholly from that

@@ -175,10 +175,15 @@ class Trainer:
         the chip is reached over a slow host link)."""
         from collections import deque
 
+        def place(x):
+            if isinstance(x, jax.Array):  # already on device (DeviceResidentLoader)
+                return x
+            return jax.device_put(jnp.asarray(x), self._batch_sharding)
+
         def put(item):
             if isinstance(item, tuple) and len(item) == 2 and np.isscalar(item[0]):
-                return int(item[0]), jax.device_put(jnp.asarray(item[1]), self._batch_sharding)
-            return 0, jax.device_put(jnp.asarray(item), self._batch_sharding)
+                return int(item[0]), place(item[1])
+            return 0, place(item)
 
         buf = deque(put(next(self.data_iter)) for _ in range(size))
         while True:
