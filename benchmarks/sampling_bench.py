@@ -23,7 +23,12 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def bench_case(name, sample_fn, iters):
+def bench_case(name, case, iters):
+    # params/cond are explicit jit arguments: captured-constant arrays are
+    # inlined into the serialized module, which a remote-compile transport
+    # may reject (HTTP 413) and which bloats compile time.
+    run, params, cond = case
+    sample_fn = lambda rng: run(params, cond, rng)
     t0 = time.time()
     out = sample_fn(jax.random.PRNGKey(0))
     jax.block_until_ready(out)
@@ -76,10 +81,10 @@ def burgers_case(ddim_steps=50, batch=50, guided=True, dim=128):
     cond = make_cond_state(ecfg, batch, C, u0=u_target[:, 0], uT=u_target[:, -1])
 
     @jax.jit
-    def run(rng):
+    def run(params, cond, rng):
         return gd.sample(params, rng, batch, cond_values=cond, guidance=guidance)
 
-    return run
+    return run, params, cond
 
 
 def smoke_case(ddim_steps=100, batch=10, guided=True, dim=64):
@@ -110,11 +115,15 @@ def smoke_case(ddim_steps=100, batch=10, guided=True, dim=64):
         if guided else None
     )
 
-    @jax.jit
-    def run(rng):
-        return gd.sample(params, rng, batch, guidance=guidance)
+    from wdno_tpu.eval.smoke_eval import make_smoke_cond_state
 
-    return run
+    cond = make_smoke_cond_state(ecfg, C, d0=d0)
+
+    @jax.jit
+    def run(params, cond, rng):
+        return gd.sample(params, rng, batch, cond_values=cond, guidance=guidance)
+
+    return run, params, cond
 
 
 def main():

@@ -65,3 +65,21 @@ def test_cli_burgers_pipeline(pipeline_dirs):
     res = json.load(open(os.path.join(exp, "eval_results.json")))
     mse = res["sim"]["ddpm_mse"]["mean"]
     assert np.isfinite(mse)
+
+
+def test_cli_burgers_raw_pipeline(pipeline_dirs):
+    """Raw (non-wavelet) mode end to end: --wavelet False train + eval."""
+    data, results = pipeline_dirs
+    if not os.path.exists(os.path.join(data, "train.npz")):
+        main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+              "--super_factor", "2", "--batch", "32", "--out", data])
+    main(["train-burgers", "--data", data, "--results", results,
+          "--exp", "cli_raw", "--wavelet", "False",
+          "--dim", "8", "--dim_mults", "1", "2",
+          "--batch", "8", "--steps", "2", "--timesteps", "10",
+          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0"])
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "cli_raw", "--task", "sim", "--checkpoint", "final",
+          "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
+    res = json.load(open(os.path.join(results, "cli_raw", "eval_results.json")))
+    assert np.isfinite(res["sim"]["ddpm_mse"]["mean"])

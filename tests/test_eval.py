@@ -147,3 +147,80 @@ def test_smoke_sim_metrics_perfect_pred():
     m = smoke_sim_metrics(data, data)
     np.testing.assert_allclose(m["mse"], 0, atol=1e-8)
     np.testing.assert_allclose(m["n_l2"], 0, atol=1e-6)
+
+
+# ---------------------------------------------------------------- raw mode
+
+
+def test_burgers_raw_eval_conditioning():
+    """Raw (non-wavelet) sim eval: conditioned rows survive sampling and
+    extraction recovers (u, f) at the reference contracts."""
+    from wdno_tpu.core.diffusion import GaussianDiffusion
+    from wdno_tpu.core.schedules import make_schedule
+    from wdno_tpu.core.conditioning import burgers_raw_spec
+    from wdno_tpu.eval.burgers_eval import eval_sim_batch
+
+    ot, ox, pad, C, B = 9, 12, 16, 2, 3
+    spec = burgers_raw_spec((pad, pad, C), (ot, ox),
+                            is_condition_u0=True, is_condition_f=True)
+    gd = GaussianDiffusion(
+        lambda p, x, t: jnp.zeros_like(x), make_schedule("cosine", 8),
+        state_shape=(pad, pad, C), spec=spec, sampling_timesteps=4, ddim_eta=0.0,
+    )
+    cfg = BurgersEvalConfig(
+        is_wavelet=False, raw_pad=pad, ori_shape=(ot, ox), coef_shape=(ot, ox),
+        is_condition_u0=True, is_condition_f=True,
+    )
+    rng = np.random.default_rng(0)
+    u_t = jnp.asarray(rng.standard_normal((B, ot, ox)), jnp.float32)
+    f_t = jnp.asarray(rng.standard_normal((B, ot - 1, ox)), jnp.float32)
+    r = eval_sim_batch(gd, None, jax.random.PRNGKey(0), cfg,
+                       u_target=u_t, f_raw=f_t, channels=C)
+    assert np.isfinite(r["ddpm_mse"]).all()
+    np.testing.assert_allclose(r["u"][:, 0], np.asarray(u_t[:, 0]), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(r["f"], np.asarray(f_t), rtol=1e-5, atol=1e-5)
+    assert "coef" not in r
+
+
+def test_smoke_raw_eval_conditioning_and_guidance():
+    """Raw smoke sim eval: conditions respected; raw control guidance
+    gradient is finite and pushes smoke-out up."""
+    from wdno_tpu.core.diffusion import GaussianDiffusion
+    from wdno_tpu.core.schedules import make_schedule
+    from wdno_tpu.core.conditioning import smoke_spec
+    from wdno_tpu.data.rescalers import smoke_raw_rescaler
+    from wdno_tpu.eval.smoke_eval import eval_smoke_sim, make_smoke_guidance
+
+    F, X, C, B = 4, 8, 6, 2
+    spec = smoke_spec((F, X, X, C), (F, X, X), is_wavelet=False,
+                      is_condition_control=True)
+    gd = GaussianDiffusion(
+        lambda p, x, t: jnp.zeros_like(x), make_schedule("sigmoid", 8),
+        state_shape=(F, X, X, C), spec=spec, sampling_timesteps=4, ddim_eta=0.0,
+    )
+    cfg = SmokeEvalConfig(
+        is_wavelet=False, rescaler=smoke_raw_rescaler(),
+        ori_shape=(F, X, X), coef_shape=(F, X, X), is_condition_control=True,
+    )
+    rng = np.random.default_rng(0)
+    test_state = jnp.asarray(rng.random((B, F, C, X, X)), jnp.float32)
+    r = eval_smoke_sim(gd, None, jax.random.PRNGKey(0), cfg,
+                       test_state=test_state, channels=C)
+    assert np.isfinite(r["mse"]).all()
+    pred = r["pred"]
+    np.testing.assert_allclose(pred[:, 0, 0], np.asarray(test_state[:, 0, 0]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(pred[:, :, 3:5], np.asarray(test_state[:, :, 3:5]),
+                               rtol=1e-4, atol=1e-4)
+
+    # raw control-task guidance: -smoke_out(T); gradient points negative on
+    # the smoke-out channel of the last frame (increasing it lowers J)
+    ctl_cfg = SmokeEvalConfig(
+        is_wavelet=False, rescaler=smoke_raw_rescaler(),
+        ori_shape=(F, X, X), coef_shape=(F, X, X), is_condition_control=False,
+    )
+    guid = make_smoke_guidance(ctl_cfg, init_u=test_state[:, 0, 0],
+                               standard_fixed_ratio=1.0)
+    g = guid.grad_fn(jnp.asarray(rng.random((B, F, X, X, C)), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert (np.asarray(g)[:, -1, :, :, 5] < 0).all()

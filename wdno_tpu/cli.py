@@ -267,18 +267,27 @@ def cmd_eval_burgers(args):
     outdir = os.path.join(args.results, args.exp)
     cfg_json = json.load(open(os.path.join(outdir, "config.json")))
     ns = argparse.Namespace(**{**cfg_json, **{k: v for k, v in vars(args).items() if v is not None}})
-    db = _load_coef_db(os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"))
-    from .data.burgers_data import build_training_states
+    from .data.burgers_data import build_raw_states, build_training_states
 
-    rescaler = burgers_wavelet_rescaler(
-        ns.wave_type, ns.pad_mode, is_super_model=ns.super_model,
-        has_condition_channel=ns.condition_u0 or ns.condition_uT,
-    )
-    st0, coef_shape, ori_shape = build_training_states(
-        db, level=0, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
-        is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
-        rescaler=rescaler, max_samples=1,
-    )
+    if ns.wavelet:
+        db = _load_coef_db(os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"))
+        rescaler = burgers_wavelet_rescaler(
+            ns.wave_type, ns.pad_mode, is_super_model=ns.super_model,
+            has_condition_channel=ns.condition_u0 or ns.condition_uT,
+        )
+        st0, coef_shape, ori_shape = build_training_states(
+            db, level=0, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
+            is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
+            rescaler=rescaler, max_samples=1,
+        )
+    else:  # raw (non-wavelet) mode
+        rescaler = None
+        probe = np.load(os.path.join(args.data, "train.npz"))
+        st0, coef_shape, ori_shape = build_raw_states(
+            probe["u"], probe["f"], level=0, is_super_model=ns.super_model,
+            max_samples=1,
+        )
+        ori_shape = [probe["u"].shape[1], probe["u"].shape[2]]
     model, gds, state, _ = _make_burgers_training(
         ns, [st0.shape[1:]], [coef_shape], rescaler
     )
@@ -298,7 +307,7 @@ def cmd_eval_burgers(args):
         rescaler=rescaler, coef_shape=tuple(coef_shape), ori_shape=tuple(ori_shape),
         wave_type=ns.wave_type, pad_mode=ns.pad_mode,
         is_condition_u0=ns.condition_u0, is_condition_uT=ns.condition_uT,
-        is_condition_f=ns.condition_f,
+        is_condition_f=ns.condition_f, is_wavelet=ns.wavelet,
     )
     C = st0.shape[-1]
 
@@ -544,19 +553,30 @@ def cmd_eval_smoke(args):
     ns = argparse.Namespace(**cfg_json)
 
     is_sim = args.task == "sim"
-    C = 42 + (40 if ns.super_model else 0)
+    is_wavelet = getattr(ns, "wavelet", True)
+    if is_wavelet:
+        C = 42 + (40 if ns.super_model else 0)
+        state_shape = (24, 40, 40, C)
+        rescaler = smoke_wavelet_rescaler(ns.wave_type, is_super_model=ns.super_model)
+        spec = smoke_spec(state_shape, (18, 34, 34),
+                          is_condition_control=ns.condition_control,
+                          is_super_model=ns.super_model)
+    else:  # raw (non-wavelet) mode: [32, 64, 64, 6] physical states
+        from .data.rescalers import smoke_raw_rescaler
+
+        C = 6
+        state_shape = (32, 64, 64, C)
+        rescaler = smoke_raw_rescaler()
+        spec = smoke_spec(state_shape, state_shape[:3], is_wavelet=False,
+                          is_condition_control=ns.condition_control)
     model = UNet3D(dim=ns.dim, dim_mults=(1, 2, 4), channels=C,
                    dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
-    rescaler = smoke_wavelet_rescaler(ns.wave_type, is_super_model=ns.super_model)
-    spec = smoke_spec((24, 40, 40, C), (18, 34, 34),
-                      is_condition_control=ns.condition_control,
-                      is_super_model=ns.super_model)
     sched = make_schedule("sigmoid", ns.timesteps)
     gd = GaussianDiffusion(
-        model.apply, sched, state_shape=(24, 40, 40, C), spec=spec,
+        model.apply, sched, state_shape=state_shape, spec=spec,
         sampling_timesteps=args.ddim_steps, ddim_eta=args.ddim_eta,
     )
-    x0 = jnp.zeros((1, 24, 40, 40, C))
+    x0 = jnp.zeros((1,) + state_shape)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x0, jnp.zeros((1,), jnp.int32))
     tcfg = TrainConfig()
     state = create_train_state(params, tcfg)
@@ -575,7 +595,7 @@ def cmd_eval_smoke(args):
     )[: args.ntest]
     ecfg = SmokeEvalConfig(
         rescaler=rescaler, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
-        is_condition_control=ns.condition_control,
+        is_condition_control=ns.condition_control, is_wavelet=is_wavelet,
     )
     scene = make_scene()
 

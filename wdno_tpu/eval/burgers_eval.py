@@ -36,6 +36,12 @@ class BurgersEvalConfig:
     is_condition_u0: bool = True
     is_condition_uT: bool = False
     is_condition_f: bool = False
+    # raw (non-wavelet) mode: states are physical (u, f) channels padded to
+    # ``raw_pad`` and divided by the scalar ``raw_rescaler`` (reference
+    # ``--is_wavelet False``, ``data_burgers_1d.py:169-214``)
+    is_wavelet: bool = True
+    raw_rescaler: float = 10.0
+    raw_pad: int = 128
 
 
 def coef_state_to_uf(
@@ -50,6 +56,39 @@ def coef_state_to_uf(
     aa, det = P.unpack2d(stacked)
     uf = W.idwt2d(aa, det, cfg.wave_type, cfg.pad_mode)[:, :, :ot, :ox]
     return uf[:, 0], uf[:, 1, : ot - 1]
+
+
+def raw_state_to_uf(
+    x: Array, cfg: BurgersEvalConfig, ori_shape=None
+) -> Tuple[Array, Array]:
+    """RESCALED raw state [B, pad, pad, >=2] -> (u [B,ot,ox], f [B,ot-1,ox])
+    (reference raw branch ``eval_ddpm_burgers.py:196``)."""
+    ot, ox = ori_shape or cfg.ori_shape
+    s = x * cfg.raw_rescaler
+    return s[:, :ot, :ox, 0], s[:, : ot - 1, :ox, 1]
+
+
+def make_raw_cond_state(
+    cfg: BurgersEvalConfig,
+    batch: int,
+    channels: int,
+    *,
+    u0: Optional[Array] = None,
+    uT: Optional[Array] = None,
+    f_raw: Optional[Array] = None,
+) -> Array:
+    """Raw-mode cond_values: conditions are physical rows written straight
+    into the (u, f) channels (reference ``diffusion_1d.py:290-307`` raw)."""
+    ot, ox = cfg.ori_shape
+    r = cfg.raw_rescaler
+    state = jnp.zeros((batch, cfg.raw_pad, cfg.raw_pad, channels))
+    if u0 is not None:
+        state = state.at[:, 0, :ox, 0].set(u0 / r)
+    if uT is not None:
+        state = state.at[:, ot - 1, :ox, 0].set(uT / r)
+    if f_raw is not None:
+        state = state.at[:, : ot - 1, :ox, 1].set(f_raw / r)
+    return state
 
 
 def f_to_coef_channels(f_raw: Array, cfg: BurgersEvalConfig, pad: Optional[int] = None) -> Array:
@@ -126,12 +165,16 @@ def make_control_guidance(
 ) -> GuidanceConfig:
     """Gradient guidance on the iDWT-reconstructed field
     (reference ``eval_ddpm_burgers.py:122-144`` + ``test_util.py:100-126``)."""
-    r = jnp.asarray(cfg.rescaler)
     ot, _ = ori_shape or cfg.ori_shape
 
+    def _to_uf(x):
+        if not cfg.is_wavelet:
+            return raw_state_to_uf(x, cfg, ori_shape)
+        coef = x[..., :8] * jnp.asarray(cfg.rescaler)[:8]
+        return coef_state_to_uf(coef, cfg, coef_shape, ori_shape)
+
     def loss_fn(x):
-        coef = x[..., :8] * r[:8]
-        u, f = coef_state_to_uf(coef, cfg, coef_shape, ori_shape)
+        u, f = _to_uf(x)
         u0_gt, uf_gt = u_target[:, 0, :], u_target[:, -1, :]
         if cfg.is_condition_f:
             loss_u = ((u[:, 0, :] - u0_gt) ** 2).mean(-1).sum()
@@ -164,23 +207,29 @@ def eval_sim_batch(
     """Conditioned simulation eval: sample u | (u0, f[, low]), compare to
     stored ground truth (reference ``diffuse_2dconv`` with is_condition_f)."""
     B = f_raw.shape[0]
-    cond = make_cond_state(
-        cfg, B, channels,
-        u0=u_target[:, 0, :: u_target.shape[-1] // cfg.ori_shape[1]],
-        f_raw=f_raw,
-        low_coef=low_coef,
-    )
+    u0 = u_target[:, 0, :: u_target.shape[-1] // cfg.ori_shape[1]]
+    if cfg.is_wavelet:
+        cond = make_cond_state(cfg, B, channels, u0=u0, f_raw=f_raw, low_coef=low_coef)
+    else:
+        cond = make_raw_cond_state(cfg, B, channels, u0=u0, f_raw=f_raw)
     x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance)
-    coef = x * jnp.asarray(cfg.rescaler)
-    u, f = coef_state_to_uf(coef, cfg)
+    if cfg.is_wavelet:
+        coef = x * jnp.asarray(cfg.rescaler)
+        u, f = coef_state_to_uf(coef, cfg)
+        coef8 = np.asarray(coef[..., :8])
+    else:
+        u, f = raw_state_to_uf(x, cfg)
+        coef8 = None
     sub = u_target.shape[-1] // u.shape[-1]
     ddpm_mse = mse_deviation(u[:, 1:], u_target[:, 1 : u.shape[1], ::sub])
-    return {
+    out = {
         "u": np.asarray(u),
         "f": np.asarray(f),
-        "coef": np.asarray(coef[..., :8]),
         "ddpm_mse": np.asarray(ddpm_mse),
     }
+    if coef8 is not None:
+        out["coef"] = coef8
+    return out
 
 
 def eval_control_batch(
@@ -201,10 +250,17 @@ def eval_control_batch(
     (reference ``evaluate``/``metric``)."""
     B = u_target.shape[0]
     guidance = make_control_guidance(cfg, u_target, wu=wu, wf=wf, J_schedule=J_schedule)
-    cond = make_cond_state(cfg, B, channels, u0=u_target[:, 0], uT=u_target[:, -1])
+    if cfg.is_wavelet:
+        cond = make_cond_state(cfg, B, channels, u0=u_target[:, 0], uT=u_target[:, -1])
+    else:
+        cond = make_raw_cond_state(cfg, B, channels, u0=u_target[:, 0], uT=u_target[:, -1])
     x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance)
-    coef = x * jnp.asarray(cfg.rescaler)
-    u, f = coef_state_to_uf(coef, cfg)
+    if cfg.is_wavelet:
+        coef = x * jnp.asarray(cfg.rescaler)
+        u, f = coef_state_to_uf(coef, cfg)
+    else:
+        u, f = raw_state_to_uf(x, cfg)
+        coef = x * cfg.raw_rescaler
     nt = u.shape[1] - 1
     u_ctrl = burgers_solve(u_target[:, 0], f, T=solver_T, num_t=nt, s=16 * f.shape[-1])
     m = burgers_control_metric(u_target, f, u_ctrl, wf=wf)

@@ -37,6 +37,10 @@ class SmokeEvalConfig:
     pad_t: int = 24
     pad_x: int = 40
     is_condition_control: bool = False
+    # raw (non-wavelet) mode: states are [F, X, X, 6] physical channels
+    # (d, v1, v2, c1, c2, smoke-out), per-channel rescaled (reference
+    # ``--is_wavelet False``, ``data_2d.py:18-116``)
+    is_wavelet: bool = True
 
 
 def coef_state_to_fields(state: Array, cfg: SmokeEvalConfig, coef_shape=None, ori_shape=None):
@@ -113,6 +117,31 @@ def make_smoke_cond_state(
     return state
 
 
+def raw_state_to_pred(x: Array, cfg: SmokeEvalConfig) -> Array:
+    """RESCALED raw state [B, F, X, X, 6] -> pred [B, F, 6, X, X]."""
+    return jnp.moveaxis(x * jnp.asarray(cfg.rescaler), -1, 2)
+
+
+def make_smoke_raw_cond(
+    cfg: SmokeEvalConfig,
+    channels: int,
+    *,
+    d0: Array,  # [B, X, X] unrescaled initial density
+    control: Optional[Array] = None,  # [B, F, 2, X, X] unrescaled
+    num_frames: int = 32,
+) -> Array:
+    """Raw-mode cond_values: initial density into channel 0 frame 0,
+    control into channels 3:5 (reference ``run_model`` raw branch,
+    ``inference_2d.py:133``)."""
+    r = jnp.asarray(cfg.rescaler)
+    B, X = d0.shape[0], d0.shape[-1]
+    state = jnp.zeros((B, num_frames, X, X, channels))
+    state = state.at[:, 0, :, :, 0].set(d0 / r[0])
+    if control is not None:
+        state = state.at[..., 3:5].set(jnp.moveaxis(control, 2, -1) / r[3:5])
+    return state
+
+
 def make_smoke_guidance(
     cfg: SmokeEvalConfig,
     *,
@@ -132,6 +161,14 @@ def make_smoke_guidance(
 
     def objective(x):
         xs = x * r
+        if not cfg.is_wavelet:
+            # raw branch (reference ``guidance_fn`` else-arm, ``:56-62``):
+            # no init term; success = smoke-out image of the last frame
+            if cfg.is_condition_control:
+                return 0.0 * xs.sum()
+            g_success = xs[:, -1, :, :, 5].mean(axis=(-1, -2)).sum()
+            g_energy = (xs[..., 3:5] ** 2).mean(axis=(1, 2, 3, 4)).sum()
+            return -g_success + w_energy * g_energy
         fields, smoke = coef_state_to_fields(xs, cfg, coef_shape, ori_shape)
         g_init = ((fields[:, 0, 0] - init_u) ** 2).mean(axis=(-1, -2)).sum()
         if cfg.is_condition_control:
@@ -170,12 +207,19 @@ def eval_smoke_control(
         cfg, init_u=d0, w_energy=w_energy, w_init=w_init,
         standard_fixed_ratio=standard_fixed_ratio,
     )
-    cond = make_smoke_cond_state(cfg, channels, d0=d0)
+    if cfg.is_wavelet:
+        cond = make_smoke_cond_state(cfg, channels, d0=d0)
+    else:
+        cond = make_smoke_raw_cond(cfg, channels, d0=d0, num_frames=base.shape[1])
     x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
-    fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
-    pred = jnp.concatenate(
-        [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)], axis=2
-    )  # [B, 32, 6, 64, 64]
+    if cfg.is_wavelet:
+        fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
+        pred = jnp.concatenate(
+            [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)],
+            axis=2,
+        )  # [B, 32, 6, 64, 64]
+    else:
+        pred = raw_state_to_pred(x, cfg)
 
     # indirect control: zero the interior of the sampled control
     pred = pred.at[:, :, 3:5, 8:56, 8:56].set(0.0)
@@ -342,15 +386,24 @@ def eval_smoke_sim(
         guid = make_smoke_guidance(
             cfg, init_u=d0, w_init=w_init, standard_fixed_ratio=standard_fixed_ratio
         )
-    cond = make_smoke_cond_state(cfg, channels, d0=d0, control=control)
+    if cfg.is_wavelet:
+        cond = make_smoke_cond_state(cfg, channels, d0=d0, control=control)
+    else:
+        cond = make_smoke_raw_cond(cfg, channels, d0=d0, control=control,
+                                   num_frames=base.shape[1])
     x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
-    fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
-    pred = jnp.concatenate(
-        [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)], axis=2
-    )
+    if cfg.is_wavelet:
+        fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
+        pred = jnp.concatenate(
+            [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)],
+            axis=2,
+        )
+    else:
+        pred = raw_state_to_pred(x, cfg)
     pred = pred.at[:, 0, 0].set(d0)
     m = smoke_sim_metrics(pred, base)
     m["pred"] = np.asarray(pred)
-    ft, fh, fw = cfg.coef_shape
-    m["coef"] = np.asarray((x * jnp.asarray(cfg.rescaler))[:, :ft, :fh, :fw, :40])
+    if cfg.is_wavelet:
+        ft, fh, fw = cfg.coef_shape
+        m["coef"] = np.asarray((x * jnp.asarray(cfg.rescaler))[:, :ft, :fh, :fw, :40])
     return m
