@@ -102,6 +102,8 @@ class TemporalDecompConv3d(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        import os as _os
+
         kd, kh, kw = self.kernel_size
         assert self.strides[0] == 1, "temporal stride must be 1"
         b, f, hh, ww, c = x.shape
@@ -112,6 +114,19 @@ class TemporalDecompConv3d(nn.Module):
         )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+
+        if _os.environ.get("WDNO_PLAIN_CONV3D"):
+            # A/B escape hatch: XLA's native conv3d lowering (same params)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
+            pad = self.padding if self.padding == "SAME" else tuple(
+                (int(lo), int(hi)) for lo, hi in self.padding)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), jnp.asarray(kernel, self.dtype),
+                self.strides, pad, dimension_numbers=dn)
+            if self.use_bias:
+                y = y + jnp.asarray(bias, self.dtype)
+            return y
 
         if self.padding == "SAME":
             pad2d = "SAME"
