@@ -67,6 +67,40 @@ def test_cli_burgers_pipeline(pipeline_dirs):
     assert np.isfinite(mse)
 
 
+def test_cli_burgers_super_pipeline(pipeline_dirs):
+    """Super-resolution path through the CLI: multi-level super training
+    (MultiResolutionLoader) + zero-shot SR chain eval against high-res GT."""
+    data, results = pipeline_dirs
+    if not os.path.exists(os.path.join(data, "train.npz")):
+        main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+              "--super_factor", "2", "--batch", "32", "--out", data])
+        main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+    # needs >= 2 coef levels for the super model
+    main(["prep-burgers", "--data", data, "--n_downsample", "2"])
+    # high-res test set for SR ground truth (one doubling: 161x240)
+    hi = os.path.join(data, "hi")
+    main(["datagen-burgers", "--n_train", "0", "--n_test", "8",
+          "--nt", "160", "--nx", "240", "--super_factor", "2",
+          "--batch", "8", "--out", hi])
+    # base model must exist for the chain's level-0 sample
+    if not os.path.exists(os.path.join(results, "cli_test", "model-final")):
+        main(_train_argv(data, results))
+    # prep has 2 levels -> super trains on 1 level (needs level+1 low-res
+    # conditioning; reference preps 4 downsamplings for --N_downsample 3)
+    main(["train-burgers", "--data", data, "--results", results,
+          "--exp", "cli_super", "--super_model", "True", "--n_downsample", "1",
+          "--dim", "8", "--dim_mults", "1", "2",
+          "--batch", "8", "--steps", "4", "--timesteps", "10",
+          "--bf16", "False", "--log_every", "2", "--ckpt_every", "0"])
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "cli_test", "--task", "sim", "--checkpoint", "final",
+          "--super_exp", "cli_super", "--super_data",
+          os.path.join(hi, "test.npz"), "--upsample", "1",
+          "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
+    res = json.load(open(os.path.join(results, "cli_test", "eval_results.json")))
+    assert np.isfinite(res["sim"]["ddpm_mse_up1"]["mean"])
+
+
 def test_cli_burgers_raw_pipeline(pipeline_dirs):
     """Raw (non-wavelet) mode end to end: --wavelet False train + eval."""
     data, results = pipeline_dirs
