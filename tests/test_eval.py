@@ -224,3 +224,18 @@ def test_smoke_raw_eval_conditioning_and_guidance():
     g = guid.grad_fn(jnp.asarray(rng.random((B, F, X, X, C)), jnp.float32))
     assert np.isfinite(np.asarray(g)).all()
     assert (np.asarray(g)[:, -1, :, :, 5] < 0).all()
+
+
+def test_control_metric_report_all_variants():
+    rng = np.random.default_rng(0)
+    u_t = jnp.asarray(rng.standard_normal((3, 5, 12)), jnp.float32)
+    f = jnp.asarray(rng.standard_normal((3, 4, 12)), jnp.float32)
+    u_c = jnp.asarray(rng.standard_normal((3, 5, 12)), jnp.float32)
+    m = burgers_control_metric(u_t, f, u_c, wf=1e-5, report_all=True)
+    for k in ("J_actual", "control_energy", "total_J",
+              "mse_median", "mae", "mae_median", "nmse", "nmae"):
+        assert k in m and np.isfinite(np.asarray(m[k])).all(), k
+    # perfect control zeroes every deviation variant
+    m0 = burgers_control_metric(u_t, f, u_t, report_all=True)
+    for k in ("J_actual", "mse_median", "mae", "mae_median", "nmse", "nmae"):
+        assert np.allclose(np.asarray(m0[k]), 0, atol=1e-6), k

@@ -375,10 +375,11 @@ def cmd_eval_burgers(args):
                 gd, state.ema_params, rng, ecfg, u_target=u_t[sl],
                 wu=args.wu, wf=args.wf,
                 J_schedule=get_J_scheduler(args.J_scheduler, gd.num_timesteps),
-                channels=C,
+                channels=C, report_all=args.report_all,
             )
-            for k in ("J_actual", "control_energy", "total_J", "J_diffused"):
-                results.setdefault(k, []).append(r[k])
+            for k, v in r.items():
+                if k not in ("u", "f", "coef"):
+                    results.setdefault(k, []).append(v)
         print(f"batch {i}: " + ", ".join(f"{k}={np.concatenate(v).mean():.6f}" for k, v in results.items()), flush=True)
 
     save_path = os.path.join(outdir, "eval_results.json")
@@ -727,6 +728,8 @@ def main(argv=None):
     p.add_argument("--wu", type=float, default=120000.0)
     p.add_argument("--wf", type=float, default=2e-5)
     p.add_argument("--J_scheduler", type=str, default="cosine")
+    p.add_argument("--report_all", action="store_true",
+                   help="also report MAE/NMSE/median control metric variants")
     p.add_argument("--super_exp", type=str, default=None,
                    help="super-model exp dir: run the zero-shot SR chain")
     p.add_argument("--super_checkpoint", type=str, default="final")

@@ -244,6 +244,7 @@ def eval_control_batch(
     J_schedule: Optional[np.ndarray] = None,
     channels: int = 9,
     solver_T: float = 8.0,
+    report_all: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Guided control eval: sample (u, f) steering u(T) toward the target,
     re-simulate the sampled f with the FD solver, score J
@@ -263,7 +264,7 @@ def eval_control_batch(
         coef = x * cfg.raw_rescaler
     nt = u.shape[1] - 1
     u_ctrl = burgers_solve(u_target[:, 0], f, T=solver_T, num_t=nt, s=16 * f.shape[-1])
-    m = burgers_control_metric(u_target, f, u_ctrl, wf=wf)
+    m = burgers_control_metric(u_target, f, u_ctrl, wf=wf, report_all=report_all)
     m = {k: np.asarray(v) for k, v in m.items()}
     m["J_diffused"] = np.asarray(
         burgers_control_metric(u_target, f, u, wf=wf)["J_actual"]
