@@ -68,15 +68,20 @@ def main():
     except Exception:
         fwd_flops = 0.0
 
+    # presplit rngs: eager per-iteration random.split dispatches tiny ops
+    # that dominate wall-clock on remote/tunneled backends and would make
+    # this measure dispatch latency instead of step compute
+    iters = 30
+    rngs = list(jax.random.split(rng, iters + 1))  # materialize outside the loop
+    jax.block_until_ready(rngs)
+
     # warmup/compile
-    tstate, m = step(tstate, batch, rng)
+    tstate, m = step(tstate, batch, rngs[0])
     jax.block_until_ready(m["loss"])
 
-    iters = 20
     t0 = time.time()
     for i in range(iters):
-        rng, sub = jax.random.split(rng)
-        tstate, m = step(tstate, batch, sub)
+        tstate, m = step(tstate, batch, rngs[i + 1])
     jax.block_until_ready(m["loss"])
     dt = (time.time() - t0) / iters
 

@@ -90,8 +90,9 @@ def test_unet2d_grad_flows():
     assert sum(n > 0 for n in norms) > len(norms) * 0.9  # nearly all params receive grad
 
 
-def test_temporal_decomp_conv3d_matches_conv3d():
-    """The batched-2D decomposition is numerically a (kd,kh,kw) conv3d."""
+def test_temporal_decomp_conv3d_matches_conv3d(monkeypatch):
+    """Both lowerings (native default + WDNO_DECOMP_CONV3D batched-2D
+    decomposition) are numerically a (kd,kh,kw) conv3d."""
     import flax.linen as nn
     from wdno_tpu.models.layers import TemporalDecompConv3d
 
@@ -107,8 +108,11 @@ def test_temporal_decomp_conv3d_matches_conv3d():
         fast = TemporalDecompConv3d(7, ks, strides=strides, padding=pad)
         p = ref.init(jax.random.PRNGKey(1), x)
         o_ref = ref.apply(p, x)
-        o_fast = fast.apply(p, x)
-        assert o_ref.shape == o_fast.shape, (ks, o_ref.shape, o_fast.shape)
-        np.testing.assert_allclose(
-            np.asarray(o_fast), np.asarray(o_ref), atol=2e-4, err_msg=str(ks)
-        )
+        for env in ("", "1"):
+            monkeypatch.setenv("WDNO_DECOMP_CONV3D", env)
+            o_fast = fast.apply(p, x)
+            assert o_ref.shape == o_fast.shape, (ks, o_ref.shape, o_fast.shape)
+            np.testing.assert_allclose(
+                np.asarray(o_fast), np.asarray(o_ref), atol=2e-4,
+                err_msg=f"{ks} env={env!r}",
+            )

@@ -78,14 +78,16 @@ class ChannelRMSNorm(nn.Module):
 
 
 class TemporalDecompConv3d(nn.Module):
-    """3D conv evaluated as one batched 2D conv + temporal shift-add.
+    """3D conv with two equivalent lowerings, selected at trace time.
 
-    XLA's TPU lowering of true 3D convolutions measures ~4x slower than the
-    equivalent batched 2D form at the smoke model's shapes.  A (kd, kh, kw)
-    conv over [B, F, H, W, C] equals: fold F into the batch, run ONE 2D conv
-    producing kd*features channels (all temporal taps at once on the MXU),
-    then sum the taps with static temporal shifts:
-        o[f] = sum_dt y[f + dt - kd//2, ..., tap dt].
+    Default: XLA's native conv3d — measured fastest for the full train step
+    on TPU v5e (6.44 vs 6.12 steps/s at the smoke base config).  Set
+    ``WDNO_DECOMP_CONV3D=1`` for the batched-2D decomposition: fold F into
+    the batch, run ONE 2D conv producing kd*features channels (all temporal
+    taps at once on the MXU), then sum the taps with static temporal shifts
+        o[f] = sum_dt y[f + dt - kd//2, ..., tap dt]
+    — it wins on forward-only micro-benchmarks but not end-to-end, and is
+    kept for other geometries/backends.
 
     Parameter shape/naming is identical to ``nn.Conv`` with a (kd, kh, kw)
     kernel, so checkpoints and the torch converter are unaffected.
@@ -115,8 +117,8 @@ class TemporalDecompConv3d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if _os.environ.get("WDNO_PLAIN_CONV3D"):
-            # A/B escape hatch: XLA's native conv3d lowering (same params)
+        if not _os.environ.get("WDNO_DECOMP_CONV3D"):
+            # native XLA conv3d lowering (same params)
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
             pad = self.padding if self.padding == "SAME" else tuple(

@@ -195,9 +195,15 @@ class Trainer:
         last = {}
         t0 = time.time()
         batches = self._prefetched()
+        key_buf: list = []
         for i in range(num_steps):
             lvl, batch = next(batches)
-            self._rng, rng = jax.random.split(self._rng)
+            if not key_buf:
+                # split keys in chunks: a per-step eager split is a tiny
+                # device dispatch that costs real latency on remote backends
+                key_buf = list(jax.random.split(self._rng, 257))
+                self._rng = key_buf.pop()
+            rng = key_buf.pop()
             self.state, metrics = self._steps[lvl](self.state, batch, rng)
             step = int(self.state.step)
             if step % self.log_every == 0 or i == num_steps - 1:
