@@ -116,3 +116,21 @@ def test_temporal_decomp_conv3d_matches_conv3d(monkeypatch):
                 np.asarray(o_fast), np.asarray(o_ref), atol=2e-4,
                 err_msg=f"{ks} env={env!r}",
             )
+
+
+def test_unet3d_samples_with_numpy_restored_params():
+    """Checkpoint-restored (numpy) params must work inside the sampling scan
+    (regression: numpy rel-pos table indexed by a scan-staged constant)."""
+    from wdno_tpu.core.diffusion import GaussianDiffusion
+    from wdno_tpu.core.schedules import make_schedule
+    from wdno_tpu.models.unet3d import UNet3D
+
+    model = UNet3D(dim=8, dim_mults=(1, 2), channels=4, resnet_groups=2,
+                   init_kernel_size=3)
+    x = jnp.zeros((2, 4, 8, 8, 4))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2,), jnp.int32))
+    params_np = jax.device_get(params)  # numpy pytree, like an orbax restore
+    gd = GaussianDiffusion(model.apply, make_schedule("sigmoid", 8),
+                           state_shape=(4, 8, 8, 4), sampling_timesteps=3)
+    out = gd.sample(params_np, jax.random.PRNGKey(1), 2)
+    assert np.isfinite(np.asarray(out)).all()

@@ -428,5 +428,8 @@ class RelativePositionBias(nn.Module):
             (self.num_buckets, self.heads),
         )
         buckets = relative_position_buckets(n, self.num_buckets, self.max_distance)
-        values = table[jnp.asarray(buckets)]  # [n, n, heads]
+        # jnp-index the (possibly numpy, e.g. orbax-restored) table with the
+        # static numpy buckets: numpy_table[traced_index] raises under scan
+        # tracing because jnp.asarray stages constants as tracers there
+        values = jnp.asarray(table)[buckets]  # [n, n, heads]
         return jnp.transpose(values, (2, 0, 1)).astype(self.dtype)
