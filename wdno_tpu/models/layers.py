@@ -117,7 +117,9 @@ class TemporalDecompConv3d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        if not _os.environ.get("WDNO_DECOMP_CONV3D"):
+        env = _os.environ.get("WDNO_DECOMP_CONV3D", "")
+        use_decomp = env == "1" or (env == "large-k" and kd >= 7)
+        if not use_decomp:
             # native XLA conv3d lowering (same params)
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
