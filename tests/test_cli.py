@@ -117,3 +117,31 @@ def test_cli_burgers_raw_pipeline(pipeline_dirs):
           "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
     res = json.load(open(os.path.join(results, "cli_raw", "eval_results.json")))
     assert np.isfinite(res["sim"]["ddpm_mse"]["mean"])
+
+
+def test_cli_smoke_raw_pipeline(tmp_path):
+    """Raw (non-wavelet) smoke mode through the CLI: --wavelet False train +
+    sim eval on synthetic fields (real datagen is chip-speed territory)."""
+    data = str(tmp_path / "data2d")
+    results = str(tmp_path / "results")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    N, F, X = 16, 33, 64
+    fields = {
+        "Density": rng.random((N, F, X, X)).astype(np.float32),
+        "Velocity": rng.standard_normal((N, F, X, X, 2)).astype(np.float32),
+        "Control": rng.standard_normal((N, F, X, X, 2)).astype(np.float32),
+        "Smoke": rng.random((N, F, 7)).astype(np.float32) + 0.1,
+    }
+    np.savez(os.path.join(data, "train.npz"), **fields)
+    np.savez(os.path.join(data, "test.npz"), **fields)
+
+    main(["train-smoke", "--data", data, "--results", results,
+          "--exp", "raw", "--wavelet", "False", "--dim", "8",
+          "--batch", "8", "--steps", "2", "--timesteps", "8",
+          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0"])
+    main(["eval-smoke", "--data", data, "--results", results,
+          "--exp", "raw", "--task", "sim", "--split", "test",
+          "--ntest", "2", "--batch_eval", "2", "--ddim_steps", "3"])
+    res = json.load(open(os.path.join(results, "raw", "eval_results.json")))
+    assert np.isfinite(res["sim"]["mse"]["mean"])
