@@ -121,12 +121,14 @@ def test_cli_burgers_raw_pipeline(pipeline_dirs):
 
 def test_cli_smoke_raw_pipeline(tmp_path):
     """Raw (non-wavelet) smoke mode through the CLI: --wavelet False train +
-    sim eval on synthetic fields (real datagen is chip-speed territory)."""
+    sim eval on synthetic fields (real datagen is chip-speed territory).
+    Shapes are reduced (9 frames @ 16^2 vs the reference's 32 @ 64^2) to keep
+    the CPU compile cheap; both CLI paths derive shapes from the data."""
     data = str(tmp_path / "data2d")
     results = str(tmp_path / "results")
     os.makedirs(data)
     rng = np.random.default_rng(0)
-    N, F, X = 16, 33, 64
+    N, F, X = 8, 9, 16
     fields = {
         "Density": rng.random((N, F, X, X)).astype(np.float32),
         "Velocity": rng.standard_normal((N, F, X, X, 2)).astype(np.float32),
@@ -138,8 +140,9 @@ def test_cli_smoke_raw_pipeline(tmp_path):
 
     main(["train-smoke", "--data", data, "--results", results,
           "--exp", "raw", "--wavelet", "False", "--dim", "8",
-          "--batch", "8", "--steps", "2", "--timesteps", "8",
-          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0"])
+          "--dim_mults", "1", "2", "--batch", "8", "--steps", "2",
+          "--timesteps", "8", "--bf16", "False", "--log_every", "1",
+          "--ckpt_every", "0"])
     main(["eval-smoke", "--data", data, "--results", results,
           "--exp", "raw", "--task", "sim", "--split", "test",
           "--ntest", "2", "--batch_eval", "2", "--ddim_steps", "3"])

@@ -14,6 +14,7 @@ Replaces the reference's six per-script argparse forests + shell wrappers
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 
@@ -463,7 +464,8 @@ def cmd_train_smoke(args):
         _, _, full_shape, _ = parse_npy_header(cache)
         spec = smoke_spec(full_shape[1:], full_shape[1:4], is_wavelet=False,
                           is_condition_control=args.condition_control)
-        model = UNet3D(dim=args.dim, dim_mults=(1, 2, 4), channels=full_shape[-1],
+        model = UNet3D(dim=args.dim, dim_mults=tuple(args.dim_mults),
+                       channels=full_shape[-1],
                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         sched = make_schedule("sigmoid", args.timesteps)
         cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
@@ -516,7 +518,7 @@ def cmd_train_smoke(args):
         print(f"level {lvl}: shard {cache} {full_shape}")
 
     C = state_shapes[0][-1]
-    model = UNet3D(dim=args.dim, dim_mults=(1, 2, 4), channels=C,
+    model = UNet3D(dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     sched = make_schedule("sigmoid", args.timesteps)
     cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
@@ -562,16 +564,20 @@ def cmd_eval_smoke(args):
         spec = smoke_spec(state_shape, (18, 34, 34),
                           is_condition_control=ns.condition_control,
                           is_super_model=ns.super_model)
-    else:  # raw (non-wavelet) mode: [32, 64, 64, 6] physical states
+    else:  # raw (non-wavelet) mode: physical states, reference [32, 64, 64, 6]
         from .data.rescalers import smoke_raw_rescaler
 
         C = 6
-        state_shape = (32, 64, 64, C)
+        # Shape comes from the data (the train path derives it the same way),
+        # so non-reference grids evaluate too; reference is 32 frames @ 64^2.
+        dshape = np.load(os.path.join(args.data, f"{args.split}.npz"))["Density"].shape
+        state_shape = (min(32, dshape[1]), dshape[2], dshape[3], C)
         rescaler = smoke_raw_rescaler()
         spec = smoke_spec(state_shape, state_shape[:3], is_wavelet=False,
                           is_condition_control=ns.condition_control)
-    model = UNet3D(dim=ns.dim, dim_mults=(1, 2, 4), channels=C,
-                   dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
+    n_frames = 32 if is_wavelet else state_shape[0]
+    model = UNet3D(dim=ns.dim, dim_mults=tuple(getattr(ns, "dim_mults", (1, 2, 4))),
+                   channels=C, dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
     sched = make_schedule("sigmoid", ns.timesteps)
     gd = GaussianDiffusion(
         model.apply, sched, state_shape=state_shape, spec=spec,
@@ -598,6 +604,8 @@ def cmd_eval_smoke(args):
         rescaler=rescaler, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
         is_condition_control=ns.condition_control, is_wavelet=is_wavelet,
     )
+    if not is_wavelet:  # raw mode works directly on the data grid
+        ecfg = dataclasses.replace(ecfg, ori_shape=state_shape[:3])
     scene = make_scene()
 
     # optional zero-shot spatial super-resolution (reference inf_super_sim.sh)
@@ -609,7 +617,9 @@ def cmd_eval_smoke(args):
         sup_dir = os.path.join(args.results, args.super_exp)
         ns_sup = argparse.Namespace(**json.load(open(os.path.join(sup_dir, "config.json"))))
         C_super = 82
-        model_s = UNet3D(dim=ns_sup.dim, dim_mults=(1, 2, 4), channels=C_super,
+        model_s = UNet3D(dim=ns_sup.dim,
+                         dim_mults=tuple(getattr(ns_sup, "dim_mults", (1, 2, 4))),
+                         channels=C_super,
                          dtype=jnp.bfloat16 if ns_sup.bf16 else jnp.float32)
         res_sup = smoke_wavelet_rescaler(ns_sup.wave_type, is_super_model=True)
         gd_super = GaussianDiffusion(
@@ -633,7 +643,7 @@ def cmd_eval_smoke(args):
         rng = jax.random.PRNGKey(i)
         if is_sim:
             r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
-                               test_state=chunk[:, :32], channels=C)
+                               test_state=chunk[:, :n_frames], channels=C)
             if gd_super is not None:
                 outs = smoke_super_res_chain(
                     gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
@@ -647,7 +657,8 @@ def cmd_eval_smoke(args):
                         if mk in rr:
                             results.setdefault(f"{mk}_up{k2 + 1}", []).append(rr[mk])
         else:
-            big = jnp.repeat(chunk[:, :32], 8, axis=1) if chunk.shape[1] < 256 else chunk
+            big = (jnp.repeat(chunk[:, :n_frames], 8, axis=1)
+                   if chunk.shape[1] < 256 else chunk)
             r = eval_smoke_control(
                 gd, state.ema_params, rng, ecfg, scene, test_state=big,
                 channels=C, standard_fixed_ratio=args.standard_fixed_ratio,
@@ -765,6 +776,7 @@ def main(argv=None):
     p.add_argument("--wave_type", type=str, default="bior1.3")
     p.add_argument("--pad_mode", type=str, default="zero")
     p.add_argument("--dim", type=int, default=64)
+    p.add_argument("--dim_mults", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--batch", type=int, default=6)
     p.add_argument("--steps", type=int, default=200000)
     p.add_argument("--lr", type=float, default=1e-3)
