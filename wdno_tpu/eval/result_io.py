@@ -44,10 +44,17 @@ def merge_save_dict(path: str, new: Dict) -> Dict:
 
 
 def save_acc(values, path: str, *keys: str) -> Dict:
-    """Store {mean, std} of ``values`` under nested ``keys``
-    (reference ``save_acc`` ``result_io.py:74-82``)."""
+    """Store {mean, std, median, p90} of ``values`` under nested ``keys``
+    (reference ``save_acc`` ``result_io.py:74-82`` stores mean/std; median
+    and p90 are added so tail-heavy metrics — e.g. per-sample SR MSE with
+    occasional diverged refinements — are diagnosable from the store)."""
     values = np.asarray(values)
-    leaf = {"mean": float(values.mean()), "std": float(values.std())}
+    leaf = {
+        "mean": float(values.mean()),
+        "std": float(values.std()),
+        "median": float(np.median(values)),
+        "p90": float(np.percentile(values, 90)),
+    }
     d: Dict[str, Any] = leaf
     for k in reversed(keys):
         d = {str(k): d}
