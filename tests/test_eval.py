@@ -4,6 +4,7 @@ both workloads' eval pipelines."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from wdno_tpu.data.rescalers import burgers_wavelet_rescaler, smoke_wavelet_rescaler
 from wdno_tpu.eval import result_io
@@ -83,6 +84,8 @@ def test_result_io_merge_and_save(tmp_path):
     result_io.save_acc([5.0], p, "sim", "mae")
     r = result_io.load_results(p)
     assert r["sim"]["mse"]["mean"] == 2.0
+    assert r["sim"]["mse"]["median"] == 2.0
+    assert r["sim"]["mse"]["p90"] == pytest.approx(2.8)
     assert r["sim"]["mae"]["mean"] == 5.0
     merged = result_io.data_merge({"a": {"b": 1, "c": 2}}, {"a": {"b": 9}})
     assert merged == {"a": {"b": 9, "c": 2}}
