@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..ops import wavelet as W
 from ..ops import packing as P
-from ..solvers.burgers import burgers_solve, make_data_varying_f
+from ..solvers.burgers import burgers_solve, make_data_varying_f_indexed
 from .rescalers import burgers_wavelet_rescaler
 
 __all__ = [
@@ -68,15 +68,19 @@ def generate_burgers_dataset(
             f"dividing 1920 and nt dividing 1280"
         )
     dt = 1.0 / 76800 * (1920 / s) ** 2  # diffusion-stability scaling
-    rng = jax.random.PRNGKey(seed)
+    base_key = jax.random.PRNGKey(seed)
     us, fs = [], []
 
     # one fused jitted program per batch: random-field generation, the full
     # FD solve and the strided downsampling all stay on device; only the
-    # [bs, nt+1, nx] outputs cross the host boundary.
+    # [bs, nt+1, nx] outputs cross the host boundary.  Sample k is keyed by
+    # its global index, so datasets generated with different batch sizes or
+    # sample counts agree trajectory-by-trajectory on their common prefix
+    # (required by the cross-resolution super-res eval protocol).
     @jax.jit
-    def gen_and_solve(key):
-        u0, f = make_data_varying_f(key, batch_size, batch_size, s=s, t=t_f, alpha=alpha)
+    def gen_and_solve(start):
+        idx = start + jnp.arange(batch_size)
+        u0, f = make_data_varying_f_indexed(base_key, idx, s=s, t=t_f, alpha=alpha)
         traj = burgers_solve(u0, f, T=T, num_t=nt, dt=dt, s=s)
         return traj[:, :, :: s // nx], f[:, :: t_f // nt, :: s // nx]
 
@@ -84,8 +88,7 @@ def generate_burgers_dataset(
     n_batches = math.ceil(num_samples / batch_size)
     _t0 = _time.time()
     for i in range(n_batches):
-        rng, sub = jax.random.split(rng)
-        traj_ds, f_ds = gen_and_solve(sub)
+        traj_ds, f_ds = gen_and_solve(jnp.int32(i * batch_size))
         us.append(np.asarray(traj_ds))
         fs.append(np.asarray(f_ds))
         if i % 5 == 0 or i == n_batches - 1:

@@ -178,3 +178,31 @@ def make_data_varying_f(
     if alpha != 1.0:
         f = jnp.clip(f * alpha, -10.0, 10.0)
     return u0.astype(jnp.float32), f
+
+
+def make_data_varying_f_indexed(
+    base_key: jax.Array,
+    indices: jax.Array,  # [N] global sample indices
+    *,
+    s: int,
+    t: int,
+    amp_compensate: float = 2.0,
+    alpha: float = 1.0,
+) -> Tuple[Array, Array]:
+    """Batch-size-invariant sampling: draw ``(u0[k], f[k])`` from
+    ``fold_in(base_key, indices[k])``, so a trajectory's identity depends
+    only on ``(base_key, global index)`` — never on how generation was
+    batched.  This is what makes separately generated datasets at
+    different resolutions/batch sizes correspond trajectory-by-trajectory
+    (the zero-shot super-resolution eval compares refinements of base-set
+    samples against a higher-resolution test set and requires index
+    alignment)."""
+
+    def one(i):
+        u0, f = make_data_varying_f(
+            jax.random.fold_in(base_key, i), 1, 1, s=s, t=t,
+            amp_compensate=amp_compensate, alpha=alpha,
+        )
+        return u0[0], f[0]
+
+    return jax.vmap(one)(indices)
