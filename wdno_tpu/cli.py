@@ -160,10 +160,24 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
     from .data.loader import DeviceResidentLoader
 
     total_bytes = sum(os.path.getsize(p) for p in shard_paths)
+    # Budget from actual free HBM when the backend reports it (60% of free
+    # leaves room for params/opt/EMA + activations); conservative 6 GB
+    # fallback otherwise (some backends, e.g. tunneled chips, report no
+    # memory stats).  WDNO_DEVICE_DATA_GB overrides both.
+    budget = 6e9
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        free = ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)
+        if free > 0:
+            budget = 0.6 * free
+    except Exception:
+        pass
+    if os.environ.get("WDNO_DEVICE_DATA_GB"):
+        budget = float(os.environ["WDNO_DEVICE_DATA_GB"]) * 1e9
     use_device = (
         not getattr(args, "host_data", False)
         and jax.device_count() == 1
-        and total_bytes < 6e9
+        and total_bytes < budget
     )
     loader_cls = DeviceResidentLoader if use_device else NativeShardLoader
     print(f"input pipeline: {'device-resident' if use_device else 'host shards'} "
