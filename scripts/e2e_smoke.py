@@ -49,7 +49,7 @@ def main():
     gen_bs = 32
     for i in range(0, args.n_train + args.n_test, gen_bs):
         b = min(gen_bs, args.n_train + args.n_test - i)
-        f = generate_smoke_batch(i, b, scene)
+        f = generate_smoke_batch(0, b, scene, start=i)
         for k, v in f.items():
             fields_all.setdefault(k, []).append(v)
         print(f"   {i+b} scenes ({(time.time()-t0)/(i+b):.2f}s/scene)", flush=True)

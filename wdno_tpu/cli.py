@@ -416,7 +416,7 @@ def cmd_datagen_smoke(args):
     for i in range(0, args.n, per):
         b = min(per, args.n - i)
         fields = generate_smoke_batch(
-            args.seed + i, b, scene,
+            args.seed, b, scene, start=i,
             record_stride=args.record_stride, record_res=args.record_res)
         for k, v in fields.items():
             all_fields.setdefault(k, []).append(v)

@@ -94,6 +94,7 @@ def generate_smoke_batch(
     max_iterations: int = 500,
     record_stride: int = RECORD_SCALE,
     record_res: int = 64,
+    start: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Generate ``batch`` scenes in one scanned rollout.
 
@@ -102,11 +103,22 @@ def generate_smoke_batch(
     test set and ``record_res=128`` the full-resolution simulation test set
     (reference ``a_gen_test_64.py`` / ``a_gen_test_128.py``).
 
+    Scene ``j`` of the call is fully determined by ``(seed, start + j)``
+    — its waypoints, control noise, and rollout never depend on how
+    generation was batched, so regenerating a dataset with a larger ``n``
+    or different ``--batch`` reproduces existing scenes exactly (same
+    contract as the Burgers ``make_data_varying_f_indexed``).
+
     Returns Density [B, F, r, r], Velocity [B, F, r, r, 2],
     Control [B, F, r, r, 2], Smoke [B, F, 8] with F = 256/record_stride + 1.
     """
-    host_rng = np.random.default_rng(seed)
-    xs, ys, vxs, vys, intervals = sample_waypoints(host_rng, batch)
+    per_scene = [
+        sample_waypoints(np.random.default_rng((seed, g)), 1)
+        for g in range(start, start + batch)
+    ]
+    xs, ys, vxs, vys, intervals = (
+        np.concatenate([p[k] for p in per_scene]) for k in range(5)
+    )
     seg_start, vx_f, vy_f = _per_frame_schedule(vxs, vys, intervals)
 
     density0 = np.zeros((batch, 127, 127, 1), np.float32)
@@ -125,26 +137,34 @@ def generate_smoke_batch(
     strip[16:112, 16:112] = 0.0
     strip = jnp.asarray(strip)[None, :, :, None]
 
-    key0 = jax.random.PRNGKey(seed)
+    # one key per scene, derived from the scene's global index; frame noise
+    # folds in the frame index so scene content is batching-invariant
+    scene_keys = jax.vmap(
+        lambda g: jax.random.fold_in(jax.random.PRNGKey(seed), g)
+    )(jnp.arange(start, start + batch))
 
     def frame_step(carry, inp):
         vel, dens, dens_zero, outs = carry
         f_idx, is_start, vx, vy = inp
-        key = jax.random.fold_in(key0, f_idx)
-        k1, k2 = jax.random.split(key)
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, f_idx))(scene_keys)
+        k1 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        k2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+
+        def pnormal(ks, shape):
+            return jax.vmap(lambda k: jax.random.normal(k, shape))(ks)
 
         # segment-start control: fresh ~N(v, |v|/10) field on strips;
         # otherwise previous velocity + N(0, 0.1) noise on strips
         fresh = jnp.stack(
             [
                 vx[:, None, None] + jnp.abs(vx[:, None, None] / 10.0)
-                * jax.random.normal(k1, (batch, 128, 128)),
+                * pnormal(k1, (128, 128)),
                 vy[:, None, None] + jnp.abs(vy[:, None, None] / 10.0)
-                * jax.random.normal(k2, (batch, 128, 128)),
+                * pnormal(k2, (128, 128)),
             ],
             axis=-1,
         )
-        drift = vel + 0.1 * jax.random.normal(k1, vel.shape)
+        drift = vel + 0.1 * pnormal(k1, vel.shape[1:])
         control = jnp.where(is_start[:, None, None, None], fresh, drift) * strip
 
         cur = compose_control_velocity(vel, control)
