@@ -135,6 +135,27 @@ def test_trainer_end_to_end_and_checkpoint(tmp_path):
     assert not np.allclose(np.asarray(tr2.state.params["w"]), w_before) or True
 
 
+def test_trainer_trace_capture(tmp_path):
+    """--trace_dir captures a jax.profiler trace of steady-state steps."""
+    gd = _make_gd()
+    cfg = TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                      train_num_steps=6, ema_update_after_step=0)
+    params = _MLP.init(None, (4, 4, 2))
+
+    def data_iter():
+        rng = np.random.default_rng(0)
+        while True:
+            yield rng.standard_normal((8, 4, 4, 2)).astype(np.float32)
+
+    trace = tmp_path / "trace"
+    tr = Trainer(gd, data_iter(), cfg, params, str(tmp_path), save_every=0,
+                 trace_dir=str(trace), trace_start=2, trace_steps=2)
+    tr.train(6)
+    assert not tr._tracing
+    captured = [p for p in trace.rglob("*") if p.is_file()]
+    assert captured, "no profiler trace files written"
+
+
 def test_dryrun_multichip_cpu8():
     assert jax.device_count() >= 8
     import __graft_entry__ as g

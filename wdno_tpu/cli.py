@@ -194,6 +194,7 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
     trainer = Trainer(
         gds, data_iter, cfg, state.params, outdir,
         save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
+        trace_dir=getattr(args, "trace_dir", None),
     )
     if getattr(args, "resume", False):
         restored = trainer.restore_latest()
@@ -739,6 +740,9 @@ def main(argv=None):
                    help="replace an existing experiment id")
     p.add_argument("--host_data", action="store_true",
                    help="force host shard loaders (skip device-resident input)")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a few steady-state "
+                        "train steps into this directory (Perfetto-compatible)")
     p.set_defaults(fn=cmd_train_burgers)
 
     p = _add_common(sub.add_parser("eval-burgers"))
@@ -807,6 +811,9 @@ def main(argv=None):
                    help="replace an existing experiment id")
     p.add_argument("--host_data", action="store_true",
                    help="force host shard loaders (skip device-resident input)")
+    p.add_argument("--trace_dir", type=str, default=None,
+                   help="capture a jax.profiler trace of a few steady-state "
+                        "train steps into this directory (Perfetto-compatible)")
     p.set_defaults(fn=cmd_train_smoke)
 
     p = _add_common(sub.add_parser("eval-smoke"))

@@ -93,6 +93,9 @@ class Trainer:
         save_every: int = 10_000,
         log_every: int = 100,
         seed: int = 0,
+        trace_dir: Optional[str] = None,
+        trace_start: int = 10,
+        trace_steps: int = 5,
     ):
         diffusions = diffusion if isinstance(diffusion, (list, tuple)) else [diffusion]
         self.diffusion = diffusions[0]
@@ -123,6 +126,13 @@ class Trainer:
         self._ckpt = ocp.StandardCheckpointer()
         self._rng = jax.random.PRNGKey(seed)
         self._log_path = os.path.join(results_dir, "metrics.jsonl")
+        # on-demand jax.profiler capture (SURVEY §5: replaces the TF
+        # Timeliner; view in Perfetto/TensorBoard).  Starts after
+        # ``trace_start`` steps so compile/warmup stays out of the trace.
+        self.trace_dir = trace_dir
+        self.trace_start = trace_start
+        self.trace_steps = trace_steps
+        self._tracing = False
 
     # ------------------------------------------------------------------ io
 
@@ -204,7 +214,15 @@ class Trainer:
                 key_buf = list(jax.random.split(self._rng, 257))
                 self._rng = key_buf.pop()
             rng = key_buf.pop()
+            if self.trace_dir and i == self.trace_start:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.start_trace(self.trace_dir)
+                self._tracing = True
             self.state, metrics = self._steps[lvl](self.state, batch, rng)
+            if self._tracing and i >= self.trace_start + self.trace_steps - 1:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                self._tracing = False
             step = int(self.state.step)
             if step % self.log_every == 0 or i == num_steps - 1:
                 last = {k: float(v) for k, v in metrics.items()}
@@ -212,4 +230,7 @@ class Trainer:
                 self._log(step, last)
             if self.save_every and step % self.save_every == 0:
                 self.save(step // self.save_every)
+        if self._tracing:  # num_steps ended inside the trace window
+            jax.profiler.stop_trace()
+            self._tracing = False
         return last
