@@ -505,11 +505,15 @@ def cmd_train_smoke(args):
         "ori_shape": z["ori_shape"].tolist(),
     }
     rescaler = smoke_wavelet_rescaler(args.wave_type, is_super_model=args.super_model)
+    maxn = getattr(args, "max_train_samples", None)
+    if maxn:  # cap scenes (e.g. to keep multi-level super states in HBM)
+        for k in ("coef", "init", "smokeout"):
+            db[k] = [a[:maxn] for a in db[k]]
     levels = list(range(args.n_downsample)) if args.super_model else [0]
     tag = "_".join([
         args.wave_type, args.pad_mode, ds_type,
         "super" if args.super_model else "base",
-    ])
+    ] + ([f"n{maxn}"] if maxn else []))
     shard_paths, specs, state_shapes = [], [], []
     for lvl in levels:
         cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
@@ -802,6 +806,9 @@ def main(argv=None):
     p.add_argument("--condition_control", type=lambda s: s == "True", default=False)
     p.add_argument("--super_model", type=lambda s: s == "True", default=False)
     p.add_argument("--n_downsample", type=int, default=2)
+    p.add_argument("--max_train_samples", type=int, default=None,
+                   help="cap training scenes (keeps multi-level super states "
+                        "inside the device-resident input budget)")
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10000)
