@@ -101,6 +101,25 @@ def test_cli_burgers_super_pipeline(pipeline_dirs):
     assert np.isfinite(res["sim"]["ddpm_mse_up1"]["mean"])
 
 
+def test_cli_burgers_control_eval(pipeline_dirs):
+    """Control task through the CLI: guided sampling + solver-in-the-loop
+    re-simulation (reduced solver precision keeps the CPU FD solve cheap)."""
+    data, results = pipeline_dirs
+    if not os.path.exists(os.path.join(data, "train.npz")):
+        main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+              "--super_factor", "2", "--batch", "32", "--out", data])
+        main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+    if not os.path.exists(os.path.join(results, "cli_test", "model-final")):
+        main(_train_argv(data, results))
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "cli_test", "--task", "control", "--checkpoint", "final",
+          "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5",
+          "--solver_factor", "2", "--report_all"])
+    res = json.load(open(os.path.join(results, "cli_test", "eval_results.json")))
+    for k in ("J_actual", "control_energy", "total_J"):
+        assert np.isfinite(res["control"][k]["mean"])
+
+
 def test_cli_burgers_raw_pipeline(pipeline_dirs):
     """Raw (non-wavelet) mode end to end: --wavelet False train + eval."""
     data, results = pipeline_dirs

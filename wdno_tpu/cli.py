@@ -392,6 +392,7 @@ def cmd_eval_burgers(args):
                 wu=args.wu, wf=args.wf,
                 J_schedule=get_J_scheduler(args.J_scheduler, gd.num_timesteps),
                 channels=C, report_all=args.report_all,
+                solver_factor=args.solver_factor,
             )
             for k, v in r.items():
                 if k not in ("u", "f", "coef"):
@@ -761,6 +762,8 @@ def main(argv=None):
     p.add_argument("--wu", type=float, default=120000.0)
     p.add_argument("--wf", type=float, default=2e-5)
     p.add_argument("--J_scheduler", type=str, default="cosine")
+    p.add_argument("--solver_factor", type=int, default=16,
+                   help="re-simulation solver precision (16 = reference GT)")
     p.add_argument("--report_all", action="store_true",
                    help="also report MAE/NMSE/median control metric variants")
     p.add_argument("--super_exp", type=str, default=None,

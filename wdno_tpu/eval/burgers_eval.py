@@ -244,11 +244,13 @@ def eval_control_batch(
     J_schedule: Optional[np.ndarray] = None,
     channels: int = 9,
     solver_T: float = 8.0,
+    solver_factor: int = 16,
     report_all: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Guided control eval: sample (u, f) steering u(T) toward the target,
     re-simulate the sampled f with the FD solver, score J
-    (reference ``evaluate``/``metric``)."""
+    (reference ``evaluate``/``metric``; ``solver_factor=16`` is the
+    reference's ground-truth solver precision)."""
     B = u_target.shape[0]
     guidance = make_control_guidance(cfg, u_target, wu=wu, wf=wf, J_schedule=J_schedule)
     if cfg.is_wavelet:
@@ -263,7 +265,9 @@ def eval_control_batch(
         u, f = raw_state_to_uf(x, cfg)
         coef = x * cfg.raw_rescaler
     nt = u.shape[1] - 1
-    u_ctrl = burgers_solve(u_target[:, 0], f, T=solver_T, num_t=nt, s=16 * f.shape[-1])
+    u_ctrl = burgers_solve(
+        u_target[:, 0], f, T=solver_T, num_t=nt, s=solver_factor * f.shape[-1]
+    )
     m = burgers_control_metric(u_target, f, u_ctrl, wf=wf, report_all=report_all)
     m = {k: np.asarray(v) for k, v in m.items()}
     m["J_diffused"] = np.asarray(
