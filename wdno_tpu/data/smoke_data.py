@@ -321,19 +321,23 @@ def build_smoke_states(
     is_super_model: bool = False,
     downsample_type: str = "time",
     rescaler: Optional[np.ndarray] = None,
+    chunk: int = 128,
 ) -> Tuple[np.ndarray, List[int], List[int]]:
     """Materialize padded training states (``Smoke_wave.__getitem__``
     equivalent, reference ``data_2d.py:156-221``).
 
     Returns (states [N, pad_t, pad_x, pad_x, C], coef_shape, ori_shape)
     with C = 42 (82 super): 40 field bands + init-density DWT channel +
-    smoke-out channel.
+    smoke-out channel.  Built ``chunk`` sims at a time directly into the
+    preallocated output: the whole-dataset version materialized several
+    dataset-sized intermediates (pad/concat/divide), peaking at ~4x the
+    output size in host RSS for a 1.4k-scene set.
     """
     from .rescalers import smoke_wavelet_rescaler
 
-    w = db["coef"][level]  # [N, nt, nx, nx, 40]
-    N, nt, nx = w.shape[0], w.shape[1], w.shape[2]
-    shape = list(w.shape[1:4])
+    w_all = db["coef"][level]  # [N, nt, nx, nx, 40]
+    N = w_all.shape[0]
+    shape = list(w_all.shape[1:4])
     ori_shape = list(db["ori_shape"][level])
 
     if downsample_type == "time":
@@ -341,43 +345,48 @@ def build_smoke_states(
     else:
         pad_t, pad_x = 24, 40 // 2**level
 
-    if not is_super_model:
-        data = P.pad_to(jnp.asarray(w), (pad_t, pad_x, pad_x), axes=(1, 2, 3))
-    else:
-        w_sub = db["coef"][level + 1]
-        if downsample_type == "space":
-            low = P.upsample_coef3d(jnp.asarray(w_sub), "space", axes=(1, 2, 3))
-            # boundary-replicate current coefficients by 1 cell
-            cur = jnp.pad(
-                jnp.asarray(w), ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
-            )
-        else:
-            low = P.upsample_coef3d(jnp.asarray(w_sub), "time", axes=(1, 2, 3))
-            cur = jnp.concatenate(
-                [jnp.asarray(w)[:, :1], jnp.asarray(w), jnp.asarray(w)[:, -1:]], axis=1
-            )
-        assert cur.shape == low.shape, (cur.shape, low.shape)
-        data = jnp.concatenate([cur, low], axis=-1)
-        data = P.pad_to(data, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
-
-    # init-density condition channel: 4 DWT bands each repeated pad_t/4 frames
-    init = db["init"][level]  # [N, nxc, nxc, 4]
-    n_rep = pad_t // 4
-    cond = np.repeat(np.moveaxis(init, 3, 1), n_rep, axis=1)  # [N, pad_t, nxc, nxc]
-    cond = P.pad_to(jnp.asarray(cond), (pad_x, pad_x), axes=(2, 3))[..., None]
-
-    # smoke-out channel: per frame, top half rows = approx coef, bottom = detail
-    sm = db["smokeout"][level]  # [N, ns, 2]
-    ns = sm.shape[1]
-    half = pad_x // 2
-    top = np.broadcast_to(sm[:, :, 0][:, :, None, None], (N, ns, half, pad_x))
-    bot = np.broadcast_to(sm[:, :, 1][:, :, None, None], (N, ns, half, pad_x))
-    sm_img = np.concatenate([top, bot], axis=2)  # [N, ns, pad_x, pad_x]
-    sm_img = np.asarray(P.pad_to(jnp.asarray(sm_img), (pad_t,), axes=(1,)))[..., None]
-
-    states = np.concatenate([np.asarray(data), np.asarray(cond), sm_img], axis=-1)
-
     if rescaler is None:
         rescaler = smoke_wavelet_rescaler(is_super_model=is_super_model)
-    states = (states / rescaler.reshape(1, 1, 1, 1, -1)).astype(np.float32)
+    C = (80 if is_super_model else 40) + 2
+    states = np.empty((N, pad_t, pad_x, pad_x, C), np.float32)
+    r = np.asarray(rescaler).reshape(1, 1, 1, 1, -1)
+
+    for i0 in range(0, N, chunk):
+        sl = slice(i0, min(i0 + chunk, N))
+        w = jnp.asarray(w_all[sl])
+        n = w.shape[0]
+        if not is_super_model:
+            data = P.pad_to(w, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+        else:
+            w_sub = jnp.asarray(db["coef"][level + 1][sl])
+            if downsample_type == "space":
+                low = P.upsample_coef3d(w_sub, "space", axes=(1, 2, 3))
+                # boundary-replicate current coefficients by 1 cell
+                cur = jnp.pad(
+                    w, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge"
+                )
+            else:
+                low = P.upsample_coef3d(w_sub, "time", axes=(1, 2, 3))
+                cur = jnp.concatenate([w[:, :1], w, w[:, -1:]], axis=1)
+            assert cur.shape == low.shape, (cur.shape, low.shape)
+            data = jnp.concatenate([cur, low], axis=-1)
+            data = P.pad_to(data, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+
+        # init-density condition: 4 DWT bands each repeated pad_t/4 frames
+        init = db["init"][level][sl]  # [n, nxc, nxc, 4]
+        n_rep = pad_t // 4
+        cond = np.repeat(np.moveaxis(init, 3, 1), n_rep, axis=1)
+        cond = P.pad_to(jnp.asarray(cond), (pad_x, pad_x), axes=(2, 3))[..., None]
+
+        # smoke-out: per frame, top half rows = approx coef, bottom = detail
+        sm = db["smokeout"][level][sl]  # [n, ns, 2]
+        ns = sm.shape[1]
+        half = pad_x // 2
+        top = np.broadcast_to(sm[:, :, 0][:, :, None, None], (n, ns, half, pad_x))
+        bot = np.broadcast_to(sm[:, :, 1][:, :, None, None], (n, ns, half, pad_x))
+        sm_img = np.concatenate([top, bot], axis=2)
+        sm_img = np.asarray(P.pad_to(jnp.asarray(sm_img), (pad_t,), axes=(1,)))[..., None]
+
+        out = np.concatenate([np.asarray(data), np.asarray(cond), sm_img], axis=-1)
+        states[sl] = out / r
     return states, shape, ori_shape
