@@ -72,6 +72,21 @@ def test_smoke_coef_and_states_time_and_space():
         assert st_s.shape[-1] == 82
 
 
+def test_build_smoke_states_chunk_invariant():
+    """States must not depend on the memory-bounding chunk size."""
+    fields = _fake_fields(n=7)
+    for ds in ("time", "space"):
+        db = build_smoke_coef(fields, n_downsample=2, downsample_type=ds)
+        for sup in (False, True):
+            a, _, _ = build_smoke_states(
+                db, level=0, is_super_model=sup, downsample_type=ds, chunk=3
+            )
+            b, _, _ = build_smoke_states(
+                db, level=0, is_super_model=sup, downsample_type=ds, chunk=100
+            )
+            assert np.array_equal(a, b)
+
+
 def test_sample_waypoints_valid():
     rng = np.random.default_rng(2)
     xs, ys, vxs, vys, intervals = sample_waypoints(rng, 16)
