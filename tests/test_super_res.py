@@ -123,3 +123,38 @@ def test_smoke_super_res_chain_tiny():
     assert r["pred"].shape == (B, ot, 6, 32, 32)
     assert np.isfinite(r["pred"]).all()
     assert "mse" in r and "mse_nearest_sr" in r and "mse_linear_sr" in r
+
+    # guided variant: the design-fn gradient must flow through the ringed
+    # (ring=1) decode of the super state without NaNs or shape errors
+    out_g = smoke_super_res_chain(
+        gd_super, params, jax.random.PRNGKey(3), cfg, coef,
+        test_state_hi=test_hi, n_levels=1, channels=C,
+        w_init=0.1, standard_fixed_ratio=1.0,
+    )
+    assert np.isfinite(out_g[0]["pred"]).all()
+
+
+def test_coef_state_to_fields_ring_alignment():
+    """ring=1 on an edge-ringed state must decode identically to ring=0 on
+    the unringed state (the super training-state layout, data_2d.py:187-198)."""
+    from wdno_tpu.eval.smoke_eval import coef_state_to_fields
+
+    C = 42
+    B, ot, oh = 2, 8, 16
+    ft, fh = 6, 10
+    rng0 = np.random.default_rng(3)
+    cfg = SmokeEvalConfig(
+        rescaler=np.ones(C, np.float32),
+        coef_shape=(ft, fh, fh),
+        ori_shape=(ot, oh, oh),
+        pad_t=8,
+        pad_x=14,
+    )
+    state = jnp.asarray(rng0.standard_normal((B, 8, 14, 14, C)).astype(np.float32))
+    ringed = jnp.zeros_like(state)
+    ringed = ringed.at[:, :, 1 : fh + 1, 1 : fh + 1, :40].set(state[:, :, :fh, :fh, :40])
+    ringed = ringed.at[..., -1].set(state[..., -1])  # smoke-out channel not ringed
+    f0, s0 = coef_state_to_fields(state, cfg)
+    f1, s1 = coef_state_to_fields(ringed, cfg, ring=1)
+    assert np.allclose(np.asarray(f0), np.asarray(f1), atol=1e-6)
+    assert np.allclose(np.asarray(s0), np.asarray(s1), atol=1e-6)

@@ -297,6 +297,13 @@ def cmd_eval_burgers(args):
             rescaler=rescaler, max_samples=1,
         )
     else:  # raw (non-wavelet) mode
+        if ns.super_model:
+            raise SystemExit(
+                "raw-mode super-model evaluation is not supported: "
+                "make_raw_cond_state does not assemble the low-res/uT "
+                "condition layout the raw super training states use "
+                "(build_raw_states); evaluate the wavelet SR chain instead"
+            )
         rescaler = None
         probe = np.load(os.path.join(args.data, "train.npz"))
         st0, coef_shape, ori_shape = build_raw_states(

@@ -44,7 +44,15 @@ def _extract(a: Array, t: Array, ndim: int) -> Array:
 
 def proj_ep_orthogonal(ep: Array, nabla_J: Array) -> Array:
     """Project guidance onto the component orthogonal-ish to eps (F-norm
-    variant, reference ``model_utils.py:75-77``)."""
+    variant, reference ``model_utils.py:75-77``).
+
+    Deliberate bug-for-bug parity: the reference's inner product is a
+    single ``.sum()`` over ALL axes (batch included) while its norm is
+    per-(sample, channel) over the spatial axes only, so one sample's
+    projection depends on its batch-mates and the two reductions use
+    different inner products.  Kept as-is so guided results are comparable;
+    a mathematically clean per-sample projection would use matching axes.
+    """
     inner = jnp.sum(nabla_J * ep)
     norm = jnp.sqrt(jnp.sum(ep**2, axis=(-3, -2), keepdims=True))
     return ep + nabla_J - inner * ep / norm

@@ -222,7 +222,13 @@ def build_training_states(
 
     if is_super_model:
         sub = db["coef"][level + 1][:max_samples]
-        low = P.upsample_coef2d(sub, axes=(1, 2))[:, :nt, :nx]
+        # keep ALL 2*nt_sub = nt+1 upsampled rows: the reference does not
+        # truncate (upsample_coef's slice is commented out, wavelet_utils.py:
+        # 5-16) and the super cond mask clamps rows :nt+1, so row nt of the
+        # low block must hold the upsampled value, not zero — this matches
+        # the eval-time SR chain, which also conditions on untruncated
+        # upsampled coefficients (eval_ddpm_burgers.py:307-312)
+        low = P.upsample_coef2d(sub, axes=(1, 2))[:, :, :nx]
         # repeat the last valid coefficient row (odd timestep count,
         # reference data_burgers_1d.py:61)
         data[:, nt, :, :] = data[:, nt - 1, :, :]

@@ -180,9 +180,19 @@ class DeviceResidentLoader:
         self.n_items = int(arr.shape[0])
         self.item_shape = tuple(arr.shape[1:])
         self.dtype = arr.dtype
-        self._data = jax.device_put(np.ascontiguousarray(arr), device)
+        # Store flattened to [N, prod(item)]: XLA's (8,128) tiled layout can
+        # pad a small minor dimension (e.g. 9 channels) up to 2x the array's
+        # true size in HBM, and the transposing copy it inserts doubles that
+        # again transiently — a [40000,64,64,9] f32 shard OOMed a 16 GB chip
+        # this way.  A 2D layout with a 128-divisible minor dim stores at
+        # the unpadded size; batches are gathered then reshaped on device.
+        flat = np.ascontiguousarray(arr).reshape(self.n_items, -1)
+        self._data = jax.device_put(flat, device)
         self._rng = np.random.default_rng(seed)
-        self._take = jax.jit(lambda d, i: jnp.take(d, i, axis=0))
+        item_shape = self.item_shape
+        self._take = jax.jit(
+            lambda d, i: jnp.take(d, i, axis=0).reshape((i.shape[0],) + item_shape)
+        )
 
     @property
     def native(self) -> bool:

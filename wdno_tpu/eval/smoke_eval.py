@@ -43,14 +43,20 @@ class SmokeEvalConfig:
     is_wavelet: bool = True
 
 
-def coef_state_to_fields(state: Array, cfg: SmokeEvalConfig, coef_shape=None, ori_shape=None):
+def coef_state_to_fields(
+    state: Array, cfg: SmokeEvalConfig, coef_shape=None, ori_shape=None, *, ring: int = 0
+):
     """UNRESCALED state [B, pad_t, pad_x, pad_x, >=42] -> (fields
     [B, ot, 5, ox, ox], smoke_out [B, ot]) via inverse DWT
-    (reference ``run_base_model``, ``inference_2d.py:137-152``)."""
+    (reference ``run_base_model``, ``inference_2d.py:137-152``).
+
+    ``ring=1`` for super-model states, whose valid bands sit one
+    edge-replicated cell in from the spatial origin (``data_2d.py:187-198``).
+    """
     ft, fh, fw = coef_shape or cfg.coef_shape
     ot, oh, ow = ori_shape or cfg.ori_shape
     B = state.shape[0]
-    bands = state[:, :ft, :fh, :fw, :40].reshape(B, ft, fh, fw, 5, 8)
+    bands = state[:, :ft, ring : fh + ring, ring : fw + ring, :40].reshape(B, ft, fh, fw, 5, 8)
     bands = jnp.moveaxis(bands, 4, 1)  # [B, 5, ft, fh, fw, 8]
     ap, det = P.unpack3d(bands)
     fields = W.idwt3d(ap, det, cfg.wave_type, cfg.pad_mode)[:, :, :ot, :oh, :ow]
@@ -66,9 +72,14 @@ def coef_state_to_fields(state: Array, cfg: SmokeEvalConfig, coef_shape=None, or
     return fields, smoke
 
 
-def control_to_coef_channels(control: Array, cfg: SmokeEvalConfig, pad_t=None, pad_x=None) -> Array:
+def control_to_coef_channels(
+    control: Array, cfg: SmokeEvalConfig, pad_t=None, pad_x=None, *, ring: int = 0
+) -> Array:
     """Raw control [B, F, 2, H, W] -> packed coefficient channels
-    [B, pad_t, pad_x, pad_x, 16] (reference ``run_model``, ``:250-254``)."""
+    [B, pad_t, pad_x, pad_x, 16] (reference ``run_model``, ``:250-254``).
+
+    ``ring=1`` edge-replicates the bands by one spatial cell to match the
+    super-model training-state layout (``data_2d.py:187-198``)."""
     pad_t = pad_t or cfg.pad_t
     pad_x = pad_x or cfg.pad_x
     B, F = control.shape[:2]
@@ -77,6 +88,10 @@ def control_to_coef_channels(control: Array, cfg: SmokeEvalConfig, pad_t=None, p
     packed = P.pack3d(ap, det)  # [B*2, ft, fh, fw, 8]
     packed = packed.reshape(B, 2, *packed.shape[1:]).transpose(0, 2, 3, 4, 1, 5)
     packed = packed.reshape(B, *packed.shape[1:4], 16)
+    if ring:
+        packed = jnp.pad(
+            packed, ((0, 0), (0, 0), (ring, ring), (ring, ring), (0, 0)), mode="edge"
+        )
     return P.pad_to(packed, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
 
 
@@ -101,8 +116,14 @@ def make_smoke_cond_state(
     low: Optional[Array] = None,
     pad_t=None,
     pad_x=None,
+    ring: int = 0,
 ) -> Array:
-    """Assemble the RESCALED cond_values tensor for the sampler."""
+    """Assemble the RESCALED cond_values tensor for the sampler.
+
+    ``ring=1`` for the super model: control bands are edge-replicated by one
+    spatial cell (the init channel and low block are not ringed — the low
+    block is a 2x upsample of the previous level's bands, which already
+    lands on the ringed grid)."""
     pad_t = pad_t or cfg.pad_t
     pad_x = pad_x or cfg.pad_x
     r = jnp.asarray(cfg.rescaler)
@@ -110,7 +131,7 @@ def make_smoke_cond_state(
     state = jnp.zeros((B, pad_t, pad_x, pad_x, channels))
     state = state.at[..., -2:-1].set(init_to_cond_channel(d0, cfg, pad_t, pad_x) / r[-2])
     if control is not None:
-        cc = control_to_coef_channels(control, cfg, pad_t, pad_x)
+        cc = control_to_coef_channels(control, cfg, pad_t, pad_x, ring=ring)
         state = state.at[..., 24:40].set(cc / r[24:40])
     if low is not None:
         state = state.at[..., 40:80].set(low / r[40:80])
@@ -152,10 +173,11 @@ def make_smoke_guidance(
     coeff_schedule: Optional[np.ndarray] = None,
     coef_shape=None,
     ori_shape=None,
+    ring: int = 0,
 ) -> GuidanceConfig:
     """Design-function guidance (reference ``guidance_fn``, ``:30-66``):
     control task: -smoke_out(T) + w_energy*||c||^2 + w_init*||d0-d^||^2;
-    simulation task: w_init term only."""
+    simulation task: w_init term only.  ``ring=1`` for super-model states."""
     r = jnp.asarray(cfg.rescaler)
     ot = (ori_shape or cfg.ori_shape)[0]
 
@@ -169,7 +191,7 @@ def make_smoke_guidance(
             g_success = xs[:, -1, :, :, 5].mean(axis=(-1, -2)).sum()
             g_energy = (xs[..., 3:5] ** 2).mean(axis=(1, 2, 3, 4)).sum()
             return -g_success + w_energy * g_energy
-        fields, smoke = coef_state_to_fields(xs, cfg, coef_shape, ori_shape)
+        fields, smoke = coef_state_to_fields(xs, cfg, coef_shape, ori_shape, ring=ring)
         g_init = ((fields[:, 0, 0] - init_u) ** 2).mean(axis=(-1, -2)).sum()
         if cfg.is_condition_control:
             return w_init * g_init
@@ -197,9 +219,14 @@ def eval_smoke_control(
     w_init: float = 0.1,
     standard_fixed_ratio: float = 100.0,
     chunk: int = 10,
+    return_solver_out: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Guided control: sample a control plan, zero its direct interior
-    (indirect control, reference ``:337``), re-simulate on-device, score."""
+    (indirect control, reference ``:337``), re-simulate on-device, score.
+
+    ``return_solver_out``: include the full re-simulated rollout
+    ([B, 256, 6, 128, 128], ~100 MB/sample f32) in the result — off by
+    default; the metrics path only needs the subsampled comparison."""
     B = test_state.shape[0]
     base = test_state[:, ::8]  # 32 recorded frames at 64^2
     d0 = base[:, 0, 0]
@@ -225,20 +252,24 @@ def eval_smoke_control(
     pred = pred.at[:, :, 3:5, 8:56, 8:56].set(0.0)
     pred = pred.at[:, 0, 0].set(d0)
 
-    outs = []
+    outs, full = [], []
+    stride = 256 // pred.shape[1]
     for j in range(0, B, chunk):
         c1 = pred[j : j + chunk, :, 3]
         c2 = pred[j : j + chunk, :, 4]
         vel0 = jnp.zeros((c1.shape[0], 128, 128, 2)).at[..., 1].set(0.2)
         roll = control_rollout(scene, vel0, pred[j : j + chunk, 0, 0], c1, c2)
-        outs.append(np.asarray(solver_out_fields(roll, c1, c2)))
-    solver_out = np.concatenate(outs)  # [B, 256, 6, 128, 128]
+        so = solver_out_fields(roll, c1, c2)
+        # subsample on device: the metrics only compare recorded frames at 64^2
+        outs.append(np.asarray(so[:, ::stride, :, ::2, ::2]))
+        if return_solver_out:
+            full.append(np.asarray(so))
+    data_cur = np.concatenate(outs)  # [B, 32, 6, 64, 64]
 
-    data_sub = jnp.asarray(solver_out)[:, :, :, ::2, ::2]
-    data_cur = data_sub[:, :: data_sub.shape[1] // pred.shape[1]]
-    m = smoke_sim_metrics(pred, data_cur, w_energy=w_energy)
+    m = smoke_sim_metrics(pred, jnp.asarray(data_cur), w_energy=w_energy)
     m["pred"] = np.asarray(pred)
-    m["solver_out"] = solver_out
+    if return_solver_out:
+        m["solver_out"] = np.concatenate(full)  # [B, 256, 6, 128, 128]
     return m
 
 
@@ -285,25 +316,21 @@ def smoke_super_res_chain(
         control = gt[:, :, 3:5]
         pad_t, pad_x = cfg.pad_t, cfg.pad_x * 2 ** (k + 1)
 
-        # fine-grid control bands with the +1 edge ring of the training states
-        c_flat = jnp.moveaxis(control, 2, 1).reshape(B * 2, control.shape[1], oh_next, oh_next)
-        ap_c, det_c = W.dwt3d(c_flat, cfg.wave_type, cfg.pad_mode)
-        fh_next = ap_c.shape[-2]
-        packed_c = P.pack3d(ap_c, det_c).reshape(B, 2, ft, fh_next, fh_next, 8)
-        packed_c = packed_c.transpose(0, 2, 3, 4, 1, 5).reshape(B, ft, fh_next, fh_next, 16)
-        ring_c = jnp.pad(packed_c, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-        cc = P.pad_to(ring_c, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+        # this level's band grid: 2x the previous level's, minus the ring
+        fh_next = 2 * coef.shape[2] - 2
 
         # low block: 2x nearest upsample of the previous bands == fine grid + ring
         low = P.upsample_coef3d(coef, "space", axes=(1, 2, 3))
         assert low.shape[2] == fh_next + 2, (low.shape, fh_next)
         low = P.pad_to(low, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
 
-        cond = jnp.zeros((B, pad_t, pad_x, pad_x, channels))
-        cond = cond.at[..., 24:40].set(cc / r[24:40])
-        cond = cond.at[..., 40:80].set(low / r[40:80])
-        cond = cond.at[..., -2:-1].set(
-            init_to_cond_channel(d0, cfg, pad_t, pad_x) / r[-2]
+        lvl_cfg = dataclasses.replace(
+            cfg, coef_shape=(ft, fh_next, fh_next),
+            ori_shape=(ot, oh_next, oh_next), pad_t=pad_t, pad_x=pad_x,
+        )
+        # control bands ringed to the super-state layout; init/low unringed
+        cond = make_smoke_cond_state(
+            lvl_cfg, channels, d0=d0, control=control, low=low, ring=1
         )
 
         from ..core.conditioning import smoke_spec
@@ -315,30 +342,15 @@ def smoke_super_res_chain(
         gd_lvl = gd_super.with_shape((pad_t, pad_x, pad_x, channels), spec)
         guid = None
         if w_init or standard_fixed_ratio:
-            lvl_cfg = dataclasses.replace(
-                cfg, coef_shape=(ft, fh_next, fh_next),
-                ori_shape=(ot, oh_next, oh_next), pad_t=pad_t, pad_x=pad_x,
-            )
             guid = make_smoke_guidance(
                 lvl_cfg, init_u=d0, w_init=w_init,
-                standard_fixed_ratio=standard_fixed_ratio,
+                standard_fixed_ratio=standard_fixed_ratio, ring=1,
             )
         rng, sub_rng = jax.random.split(rng)
         x = gd_lvl.sample(params_super, sub_rng, B, cond_values=cond, guidance=guid)
 
         # decode: strip the edge ring, inverse-DWT the 40 field bands
-        bands = (x[:, :ft, 1 : fh_next + 1, 1 : fh_next + 1, :40] * r[:40]).reshape(
-            B, ft, fh_next, fh_next, 5, 8
-        )
-        bands = jnp.moveaxis(bands, 4, 1)
-        ap, det = P.unpack3d(bands)
-        fields = W.idwt3d(ap, det, cfg.wave_type, cfg.pad_mode)[:, :, :ot, :oh_next, :oh_next]
-        fields = jnp.moveaxis(fields, 1, 2)  # [B, ot, 5, oh_next, oh_next]
-        half = pad_x // 2
-        sm = x[:, :ft, :, :, -1] * r[-1]
-        a = sm[:, :, :half, :].mean(axis=(2, 3))
-        dd = sm[:, :, half:, :].mean(axis=(2, 3))
-        smoke = W.idwt1d(a, dd, cfg.wave_type, cfg.pad_mode, axis=-1)[:, :ot]
+        fields, smoke = coef_state_to_fields(x * r, lvl_cfg, ring=1)
         pred = jnp.concatenate(
             [fields, jnp.broadcast_to(smoke[:, :, None, None, None], fields[:, :, :1].shape)],
             axis=2,
