@@ -187,3 +187,28 @@ def test_pallas_stencil_matches_xla():
     ref = np.asarray(apply_laplace(st_b, p))
     out = np.asarray(apply_laplace_fused(st_b, p))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_advect_mac_constant_field_invariant():
+    """MAC self-advection of a spatially constant staggered field is the
+    identity away from the inflow boundary (reference ``nd.py:429-444``)."""
+    from wdno_tpu.solvers.smoke.grid import advect_mac
+
+    vel = jnp.zeros((1, 17, 17, 2)).at[..., 0].set(0.3).at[..., 1].set(-0.2)
+    out = np.asarray(advect_mac(vel, vel, dt=1.0))
+    # interior: constant field advected by constant velocity stays constant
+    np.testing.assert_allclose(out[0, 2:-2, 2:-2, 0], 0.3, atol=1e-6)
+    np.testing.assert_allclose(out[0, 2:-2, 2:-2, 1], -0.2, atol=1e-6)
+
+
+def test_advect_mac_translates_bump():
+    """A bump in the advected x-component moves along +x under uniform
+    +x velocity (semi-Lagrangian backtrace)."""
+    from wdno_tpu.solvers.smoke.grid import advect_mac
+
+    n = 33
+    vel = jnp.zeros((1, n, n, 2)).at[..., 0].set(1.0)
+    field = jnp.zeros((1, n, n, 2)).at[:, 16, 10, 0].set(1.0)
+    out = np.asarray(advect_mac(vel, field, dt=2.0))
+    assert out[0, 16, 12, 0] > 0.9  # bump moved 2 cells in +x
+    assert out[0, 16, 10, 0] < 0.1

@@ -174,7 +174,6 @@ def _condition_channel(
         rows = u[:, jnp.asarray([0, ori_t - 1]), :]  # [b, 2, ori_x]
         a, d = W.dwt1d(rows, wave_type, pad_mode, axis=-1)  # [b,2,nx']
         n_rep = pad_t // 4
-        blocks = [a[:, 0], d[:, 0][..., None, :], a[:, 1], d[:, 1]]
         cond = jnp.zeros((chunk.shape[0], pad_t, pad_x))
         segs = [a[:, 0], d[:, 0], a[:, 1], d[:, 1]]
         for i, seg in enumerate(segs):

@@ -70,7 +70,13 @@ struct Loader {
       uint64_t idx = splitmix64(rs) % n_items;
       std::memcpy(dst + i * item_bytes, src0 + idx * item_bytes, item_bytes);
     }
-    s.ready_ticket.store((int64_t)ticket, std::memory_order_release);
+    // Publish under the mutex: storing + notifying unlocked can race a
+    // consumer that has evaluated its wait predicate as false but not yet
+    // blocked — the notify is lost and wdno_shard_next sleeps forever.
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      s.ready_ticket.store((int64_t)ticket, std::memory_order_release);
+    }
     cv_ready.notify_all();
   }
 
@@ -142,7 +148,13 @@ int wdno_shard_next(void* h, void* out) {
   }
   std::memcpy(out, s.buf.data(), (size_t)(ld->batch * ld->item_bytes));
   ld->read_ticket = t + 1;
-  ld->consumed.fetch_add(1, std::memory_order_release);
+  {
+    // same lost-wakeup hazard as fill(): a worker may have tested its
+    // cv_free predicate and be about to block — advance `consumed` and
+    // notify under the mutex so the wakeup cannot fall in that window
+    std::lock_guard<std::mutex> lk(ld->mu);
+    ld->consumed.fetch_add(1, std::memory_order_release);
+  }
   ld->cv_free.notify_all();
   return 0;
 }
@@ -150,7 +162,10 @@ int wdno_shard_next(void* h, void* out) {
 void wdno_shard_close(void* h) {
   auto* ld = (Loader*)h;
   if (!ld) return;
-  ld->stop.store(true);
+  {
+    std::lock_guard<std::mutex> lk(ld->mu);  // see fill(): no lost wakeups
+    ld->stop.store(true);
+  }
   ld->cv_free.notify_all();
   ld->cv_ready.notify_all();
   for (auto& w : ld->workers) w.join();

@@ -80,7 +80,8 @@ def smoke_wavelet_rescaler(wave_type: str = "bior1.3", is_super_model: bool = Fa
 
 
 def derive_rescaler(coef_stack: np.ndarray, axis_channels: int = -1) -> np.ndarray:
-    """ceil(max|coef|)+1 per channel — the reference's derivation rule
+    """int(max|coef|)+1 per channel (floor+1 for positive maxima) — the
+    reference's derivation rule, ``int(...abs().max())+1``
     (``wave_trans_2d.py:162-170``)."""
     moved = np.moveaxis(coef_stack, axis_channels, -1)
     flat = np.abs(moved).reshape(-1, moved.shape[-1])

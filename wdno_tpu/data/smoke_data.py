@@ -18,6 +18,7 @@ a disk-I/O bottleneck flagged in SURVEY §3.3) — with:
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -35,6 +36,76 @@ Array = jnp.ndarray
 
 SCENE_LEN = 256
 RECORD_SCALE = 8
+
+
+@functools.lru_cache(maxsize=None)
+def _scene_rollout_fn(record_res: int, accuracy: float, max_iterations: int):
+    """Jitted 256-frame scene rollout, cached on the static config.
+
+    Built once per (record_res, accuracy, max_iterations): datagen calls
+    this in a loop (20k scenes / 32 per batch = 625 calls at the reference
+    scale), and a per-call ``jax.jit(lambda ...)`` would re-trace the whole
+    scanned rollout every time.  All batch-dependent arrays arrive via the
+    ``consts`` pytree so the compiled executable is reused across batches.
+    """
+    sub = 128 // record_res
+
+    def frame_step(consts, carry, inp):
+        vel, dens, dens_zero, outs = carry
+        f_idx, is_start, vx, vy = inp
+        keys = jax.vmap(lambda k: jax.random.fold_in(k, f_idx))(consts["scene_keys"])
+        k1 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
+        k2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+
+        def pnormal(ks, shape):
+            return jax.vmap(lambda k: jax.random.normal(k, shape))(ks)
+
+        # segment-start control: fresh ~N(v, |v|/10) field on strips;
+        # otherwise previous velocity + N(0, 0.1) noise on strips
+        fresh = jnp.stack(
+            [
+                vx[:, None, None] + jnp.abs(vx[:, None, None] / 10.0)
+                * pnormal(k1, (128, 128)),
+                vy[:, None, None] + jnp.abs(vy[:, None, None] / 10.0)
+                * pnormal(k2, (128, 128)),
+            ],
+            axis=-1,
+        )
+        drift = vel + 0.1 * pnormal(k1, vel.shape[1:])
+        control = jnp.where(is_start[:, None, None, None], fresh, drift) * consts["strip"]
+
+        cur = compose_control_velocity(vel, control)
+        vel = divergence_free(
+            cur, consts["stencil"], consts["vel_mask"], accuracy, max_iterations
+        )
+        vel = with_boundary_conditions(vel, consts["vel_mask"])
+        dens = advect_centered(vel, dens)
+        dens_zero = advect_centered(vel, dens_zero)
+
+        # bucket accounting at the recorded (::2) resolution
+        arr = jnp.pad(dens_zero[..., 0], ((0, 0), (0, 1), (0, 1)))
+        in_bucket = jnp.sum(arr * consts["concat"], axis=(1, 2)) > 0
+        add = jnp.einsum("byx,kyx->bk", arr[:, ::2, ::2], consts["smoke_masks"][:, ::2, ::2])
+        outs = outs + jnp.where(in_bucket[:, None], add, 0.0)
+        dens_zero = jnp.where(
+            in_bucket[:, None, None, None],
+            dens_zero * consts["set_zero"][None, :, :, None],
+            dens_zero,
+        )
+
+        total_zero = dens_zero[:, ::2, ::2, 0].sum((1, 2))
+        rec = (
+            jnp.pad(dens[..., 0], ((0, 0), (0, 1), (0, 1)))[:, ::sub, ::sub],
+            vel[:, ::sub, ::sub, :],
+            control[:, ::sub, ::sub, :],
+            jnp.concatenate([outs, total_zero[:, None]], axis=1),
+        )
+        return (vel, dens, dens_zero, outs), rec
+
+    def run(consts, init, inputs):
+        return jax.lax.scan(functools.partial(frame_step, consts), init, inputs)
+
+    return jax.jit(run)
 
 
 def sample_waypoints(rng: np.random.Generator, batch: int):
@@ -143,54 +214,15 @@ def generate_smoke_batch(
         lambda g: jax.random.fold_in(jax.random.PRNGKey(seed), g)
     )(jnp.arange(start, start + batch))
 
-    def frame_step(carry, inp):
-        vel, dens, dens_zero, outs = carry
-        f_idx, is_start, vx, vy = inp
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, f_idx))(scene_keys)
-        k1 = jax.vmap(lambda k: jax.random.fold_in(k, 0))(keys)
-        k2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-
-        def pnormal(ks, shape):
-            return jax.vmap(lambda k: jax.random.normal(k, shape))(ks)
-
-        # segment-start control: fresh ~N(v, |v|/10) field on strips;
-        # otherwise previous velocity + N(0, 0.1) noise on strips
-        fresh = jnp.stack(
-            [
-                vx[:, None, None] + jnp.abs(vx[:, None, None] / 10.0)
-                * pnormal(k1, (128, 128)),
-                vy[:, None, None] + jnp.abs(vy[:, None, None] / 10.0)
-                * pnormal(k2, (128, 128)),
-            ],
-            axis=-1,
-        )
-        drift = vel + 0.1 * pnormal(k1, vel.shape[1:])
-        control = jnp.where(is_start[:, None, None, None], fresh, drift) * strip
-
-        cur = compose_control_velocity(vel, control)
-        vel = divergence_free(cur, stencil, vel_mask, accuracy, max_iterations)
-        vel = with_boundary_conditions(vel, vel_mask)
-        dens = advect_centered(vel, dens)
-        dens_zero = advect_centered(vel, dens_zero)
-
-        # bucket accounting at the recorded (::2) resolution
-        arr = jnp.pad(dens_zero[..., 0], ((0, 0), (0, 1), (0, 1)))
-        in_bucket = jnp.sum(arr * concat, axis=(1, 2)) > 0
-        add = jnp.einsum("byx,kyx->bk", arr[:, ::2, ::2], smoke_masks[:, ::2, ::2])
-        outs = outs + jnp.where(in_bucket[:, None], add, 0.0)
-        dens_zero = jnp.where(
-            in_bucket[:, None, None, None], dens_zero * set_zero[None, :, :, None], dens_zero
-        )
-
-        total_zero = dens_zero[:, ::2, ::2, 0].sum((1, 2))
-        sub = 128 // record_res
-        rec = (
-            jnp.pad(dens[..., 0], ((0, 0), (0, 1), (0, 1)))[:, ::sub, ::sub],
-            vel[:, ::sub, ::sub, :],
-            control[:, ::sub, ::sub, :],
-            jnp.concatenate([outs, total_zero[:, None]], axis=1),
-        )
-        return (vel, dens, dens_zero, outs), rec
+    consts = {
+        "scene_keys": scene_keys,
+        "stencil": stencil,
+        "vel_mask": vel_mask,
+        "smoke_masks": smoke_masks,
+        "concat": concat,
+        "set_zero": set_zero,
+        "strip": strip,
+    }
 
     vel0 = jnp.zeros((batch, 128, 128, 2), jnp.float32).at[..., 1].set(0.2)
     init = (vel0, jnp.asarray(density0), jnp.asarray(density0),
@@ -202,8 +234,8 @@ def generate_smoke_batch(
         jnp.asarray(vx_f.T),
         jnp.asarray(vy_f.T),
     )
-    rollout = jax.jit(lambda init, inputs: jax.lax.scan(frame_step, init, inputs))
-    (_, dens_T, _, _), (d_seq, v_seq, c_seq, s_seq) = rollout(init, inputs)
+    rollout = _scene_rollout_fn(record_res, float(accuracy), int(max_iterations))
+    (_, dens_T, _, _), (d_seq, v_seq, c_seq, s_seq) = rollout(consts, init, inputs)
 
     # recorded frames: initial state + every record_stride-th frame
     idx = np.arange(record_stride - 1, SCENE_LEN, record_stride)
@@ -340,10 +372,23 @@ def build_smoke_states(
     shape = list(w_all.shape[1:4])
     ori_shape = list(db["ori_shape"][level])
 
+    if is_super_model and level + 1 >= len(db["coef"]):
+        raise ValueError(
+            f"super model at level {level} needs coefficients at level "
+            f"{level + 1}, but the database has only {len(db['coef'])} "
+            "levels — prep with a larger --n_downsample or train the super "
+            "model on levels 0..n_downsample-2"
+        )
     if downsample_type == "time":
         pad_t, pad_x = 24 // 2**level, 40
     else:
         pad_t, pad_x = 24, 40 // 2**level
+    if pad_t % 4:
+        raise ValueError(
+            f"time level {level} gives pad_t={pad_t}, not divisible by the "
+            "4 repeated condition-channel blocks (reference supports two "
+            "time downsamplings of the 24-frame padded state)"
+        )
 
     if rescaler is None:
         rescaler = smoke_wavelet_rescaler(is_super_model=is_super_model)

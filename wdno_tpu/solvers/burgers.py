@@ -118,11 +118,6 @@ def burgers_solve(
     return traj
 
 
-@functools.partial(jax.jit, static_argnames=("num_t", "s", "steps_hint", "output_space_downsample"))
-def _solve_jit(u0, f, visc, T, num_t, dt, s, steps_hint, output_space_downsample):
-    return burgers_solve(u0, f, visc, T, num_t, dt, s, output_space_downsample)
-
-
 def make_data_varying_f(
     rng: jax.Array,
     Nu0: int,
@@ -158,12 +153,12 @@ def make_data_varying_f(
     u0 = gauss1 + gauss2
 
     def rand_f(key, is_rand_amp: bool):
-        k = jax.random.split(key, 5)
+        k = jax.random.split(key, 6)
         amp = unif(k[0], (Nf, 1, 1), -1.5, 1.5)
         if is_rand_amp:
             amp = amp * jax.random.randint(k[4], (Nf, 1, 1), 0, 2).astype(amp.dtype)
         loc_s = jax.random.uniform(k[1], (Nf, 1, 1))
-        sig_s = unif(k[1], (Nf, 1, 1), 0.1, 0.4)
+        sig_s = unif(k[5], (Nf, 1, 1), 0.1, 0.4)
         exp_space = jnp.exp(-0.5 * (x[None, None, :] - loc_s) ** 2 / sig_s**2)
         loc_t = jax.random.uniform(k[2], (Nf, 1, 1))
         sig_t = unif(k[3], (Nf, 1, 1), 0.1, 0.4)

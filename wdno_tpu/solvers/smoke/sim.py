@@ -108,6 +108,14 @@ def control_rollout(
         dens = advect_centered(vel, dens)
         dens_zero = advect_centered(vel, dens_zero)
 
+        # Deliberate bug-for-bug parity with the reference EVAL solver
+        # (evaluate_solver.py:170-180): smoke_outs accumulates from the
+        # never-zeroed density, so bucket-resident smoke is re-counted
+        # every frame, while the denominator uses the zeroed copy.  The
+        # reference's DATAGEN accounts from the zeroed density instead
+        # (a_gen_train.py:502-520, mirrored by generate_smoke_batch); the
+        # two smoke-out semantics genuinely differ in the reference, and
+        # the control metric is defined by the eval-solver variant.
         d2 = dens[..., 0]
         in_bucket = jnp.sum(d2 * concat, axis=(1, 2)) > 0  # [B]
         add = jnp.einsum("byx,kyx->bk", d2, smoke_masks)
@@ -117,11 +125,7 @@ def control_rollout(
         )
 
         ratio = outs[:, 1] / (outs.sum(-1) + dens_zero[..., 0].sum((1, 2)))
-        rec = (
-            jnp.pad(d2, ((0, 0), (0, 1), (0, 1))),
-            jnp.pad(vel, ((0, 0), (0, 0), (0, 0), (0, 0)))[:, :, :, :],
-            ratio,
-        )
+        rec = (jnp.pad(d2, ((0, 0), (0, 1), (0, 1))), vel, ratio)
         return (vel, dens, dens_zero, outs), rec
 
     init = (
