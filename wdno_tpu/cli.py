@@ -285,6 +285,12 @@ def cmd_eval_burgers(args):
     ns = argparse.Namespace(**{**cfg_json, **{k: v for k, v in vars(args).items() if v is not None}})
     from .data.burgers_data import build_raw_states, build_training_states
 
+    if ns.super_model:
+        raise SystemExit(
+            "a super (refinement) model cannot be evaluated standalone — it "
+            "needs low-res conditions from a base sample; evaluate the base "
+            "experiment and pass this one via --super_exp for the SR chain"
+        )
     if ns.wavelet:
         db = _load_coef_db(os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"))
         rescaler = burgers_wavelet_rescaler(
@@ -340,6 +346,12 @@ def cmd_eval_burgers(args):
     if args.super_exp:
         import dataclasses as _dc
 
+        if not ns.wavelet:
+            raise SystemExit(
+                "the zero-shot SR chain conditions on upsampled wavelet "
+                "coefficients; it requires a wavelet base experiment "
+                "(reference eval_ddpm_burgers.py:305-338)"
+            )
         sup_dir = os.path.join(args.results, args.super_exp)
         ns_sup = argparse.Namespace(**json.load(open(os.path.join(sup_dir, "config.json"))))
         res_sup = burgers_wavelet_rescaler(
@@ -421,16 +433,28 @@ def cmd_datagen_smoke(args):
     scene = make_scene()
     os.makedirs(args.out, exist_ok=True)
     per = args.batch
-    all_fields = {}
+    # preallocate: accumulating per-batch lists + one concatenate peaked at
+    # ~2x the dataset in host RSS (~108 GB transient at the 20k-scene scale)
+    F = 256 // args.record_stride + 1
+    r = args.record_res
+    out = {
+        "Density": np.empty((args.n, F, r, r), np.float32),
+        "Velocity": np.empty((args.n, F, r, r, 2), np.float32),
+        "Control": np.empty((args.n, F, r, r, 2), np.float32),
+        "Smoke": np.empty((args.n, F, 8), np.float32),
+    }
     for i in range(0, args.n, per):
         b = min(per, args.n - i)
+        # test scenes come from a disjoint (seed, index) stream — with the
+        # train seed they would be byte-identical to the first n train
+        # scenes (the Burgers datagen applies the same +1 offset)
         fields = generate_smoke_batch(
-            args.seed, b, scene, start=i,
+            args.seed if args.split == "train" else args.seed + 1,
+            b, scene, start=i,
             record_stride=args.record_stride, record_res=args.record_res)
         for k, v in fields.items():
-            all_fields.setdefault(k, []).append(v)
+            out[k][i : i + b] = v
         print(f"{i + b}/{args.n}", flush=True)
-    out = {k: np.concatenate(v) for k, v in all_fields.items()}
     np.savez(os.path.join(args.out, f"{args.split}.npz"), **out)
     print("saved", {k: v.shape for k, v in out.items()})
 
@@ -584,13 +608,18 @@ def cmd_eval_smoke(args):
 
     is_sim = args.task == "sim"
     is_wavelet = getattr(ns, "wavelet", True)
+    if ns.super_model:
+        raise SystemExit(
+            "a super (refinement) model cannot be evaluated standalone — it "
+            "needs low-res conditions from a base sample; evaluate the base "
+            "experiment and pass this one via --super_exp for the SR chain"
+        )
     if is_wavelet:
-        C = 42 + (40 if ns.super_model else 0)
+        C = 42
         state_shape = (24, 40, 40, C)
-        rescaler = smoke_wavelet_rescaler(ns.wave_type, is_super_model=ns.super_model)
+        rescaler = smoke_wavelet_rescaler(ns.wave_type)
         spec = smoke_spec(state_shape, (18, 34, 34),
-                          is_condition_control=ns.condition_control,
-                          is_super_model=ns.super_model)
+                          is_condition_control=ns.condition_control)
     else:  # raw (non-wavelet) mode: physical states, reference [32, 64, 64, 6]
         from .data.rescalers import smoke_raw_rescaler
 
@@ -703,6 +732,11 @@ def cmd_eval_smoke(args):
 
 
 def main(argv=None):
+    # multi-host bootstrap must precede any JAX call that initializes the
+    # XLA backend; env-gated no-op on a single host
+    from .parallel.distributed import initialize
+
+    initialize()
     ap = argparse.ArgumentParser(prog="wdno_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

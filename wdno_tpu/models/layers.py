@@ -63,20 +63,6 @@ class ChannelLayerNorm(nn.Module):
         return out.astype(self.dtype)
 
 
-class ChannelRMSNorm(nn.Module):
-    """L2-normalize channels * g * sqrt(C) (reference ``unet.py:47-53``)."""
-
-    dtype: Dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: Array) -> Array:
-        g = self.param("g", nn.initializers.ones, (x.shape[-1],))
-        xf = x.astype(jnp.float32)
-        norm = jnp.sqrt(jnp.sum(xf**2, axis=-1, keepdims=True) + 1e-12)
-        out = xf / norm * g * math.sqrt(x.shape[-1])
-        return out.astype(self.dtype)
-
-
 class TemporalDecompConv3d(nn.Module):
     """3D conv with two equivalent lowerings, selected at trace time.
 

@@ -29,19 +29,49 @@ def initialize(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Bootstrap multi-process JAX.  No-op when already initialized or when
-    running single-process (the common single-host case)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Bootstrap multi-process JAX.  No-op when running single-process (the
+    common single-host case).
+
+    MUST run before anything initializes the XLA backend — so the
+    cluster-or-not decision is made from the environment, NOT from
+    ``jax.process_count()`` (which itself initializes the backend, after
+    which ``jax.distributed.initialize`` raises and multi-host bootstrap
+    silently never happens).
+    """
+    import os
+    import sys
+
+    def _hostlist(name: str) -> bool:
+        # a real worker list is comma-separated hostnames/IPs; some runtimes
+        # leave a warning STRING in the var — don't treat that as a cluster
+        v = os.environ.get(name, "")
+        return bool(v) and " " not in v.strip()
+
+    cluster_env = (
+        coordinator_address is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        # Cloud TPU pod slices: the TPU runtime exposes worker metadata and
+        # jax.distributed.initialize autodiscovers the coordinator
+        or (_hostlist("TPU_WORKER_HOSTNAMES") and "," in os.environ["TPU_WORKER_HOSTNAMES"])
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not cluster_env:
+        return  # single-process run: nothing to do
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (ValueError, RuntimeError):
-        # single-process run (no cluster env): nothing to do
-        pass
+    except RuntimeError as e:
+        # do NOT swallow silently: a failed bootstrap on a real cluster
+        # means every host trains alone with a wrong (local-only) mesh
+        print(
+            f"WARNING: jax.distributed.initialize failed ({e}); continuing "
+            "single-process — multi-host collectives will NOT engage",
+            file=sys.stderr,
+        )
 
 
 def process_batch_slice(global_batch: int) -> slice:

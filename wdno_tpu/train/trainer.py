@@ -201,12 +201,21 @@ class Trainer:
             buf.append(put(next(self.data_iter)))
 
     def train(self, num_steps: Optional[int] = None) -> dict:
+        """Train until ``state.step`` reaches ``num_steps`` (a TOTAL budget,
+        like the reference's ``while self.step < train_num_steps``) — a
+        resumed run finishes the configured run rather than appending
+        ``num_steps`` more on top of the restored step."""
         num_steps = num_steps or self.cfg.train_num_steps
+        done = int(self.state.step)
+        remaining = max(0, num_steps - done)
+        if remaining == 0 and done:
+            print(f"already trained to step {done} >= {num_steps}; nothing to do")
+            return {}
         last = {}
         t0 = time.time()
         batches = self._prefetched()
         key_buf: list = []
-        for i in range(num_steps):
+        for i in range(remaining):
             lvl, batch = next(batches)
             if not key_buf:
                 # split keys in chunks: a per-step eager split is a tiny
@@ -224,7 +233,7 @@ class Trainer:
                 jax.profiler.stop_trace()
                 self._tracing = False
             step = int(self.state.step)
-            if step % self.log_every == 0 or i == num_steps - 1:
+            if step % self.log_every == 0 or i == remaining - 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 last["steps_per_sec"] = (i + 1) / (time.time() - t0)
                 self._log(step, last)
