@@ -213,6 +213,7 @@ class Trainer:
             return {}
         last = {}
         t0 = time.time()
+        steps_at_log = 0
         batches = self._prefetched()
         key_buf: list = []
         for i in range(remaining):
@@ -235,7 +236,12 @@ class Trainer:
             step = int(self.state.step)
             if step % self.log_every == 0 or i == remaining - 1:
                 last = {k: float(v) for k, v in metrics.items()}
-                last["steps_per_sec"] = (i + 1) / (time.time() - t0)
+                # windowed rate (since the previous log line): a cumulative
+                # average buries steady-state throughput under compile and
+                # data-upload time for the whole run
+                now = time.time()
+                last["steps_per_sec"] = (i + 1 - steps_at_log) / (now - t0)
+                steps_at_log, t0 = i + 1, now
                 self._log(step, last)
             if self.save_every and step % self.save_every == 0:
                 self.save(step // self.save_every)
