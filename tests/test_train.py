@@ -135,6 +135,35 @@ def test_trainer_end_to_end_and_checkpoint(tmp_path):
     assert not np.allclose(np.asarray(tr2.state.params["w"]), w_before) or True
 
 
+def test_trainer_resume_respects_total_budget(tmp_path):
+    """train(N) is a TOTAL step budget: a resumed run finishes the
+    configured run rather than appending N more steps (reference
+    ``while self.step < train_num_steps``)."""
+    gd = _make_gd()
+    cfg = TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                      train_num_steps=12, ema_update_after_step=0)
+    params = _MLP.init(None, (4, 4, 2))
+
+    def data_iter():
+        rng = np.random.default_rng(0)
+        while True:
+            yield rng.standard_normal((8, 4, 4, 2)).astype(np.float32)
+
+    tr = Trainer(gd, data_iter(), cfg, params, str(tmp_path), save_every=5, log_every=5)
+    tr.train(10)
+    assert int(tr.state.step) == 10
+
+    # "crash" and resume: only the remaining 2 steps of the 12-step budget run
+    tr2 = Trainer(gd, data_iter(), cfg, params, str(tmp_path), save_every=0)
+    assert tr2.restore_latest() == 10
+    tr2.train(12)
+    assert int(tr2.state.step) == 12
+
+    # already past the budget: no-op
+    tr2.train(12)
+    assert int(tr2.state.step) == 12
+
+
 def test_trainer_trace_capture(tmp_path):
     """--trace_dir captures a jax.profiler trace of steady-state steps."""
     gd = _make_gd()
