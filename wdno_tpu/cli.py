@@ -330,8 +330,9 @@ def cmd_eval_burgers(args):
     gd.ddim_eta = args.ddim_eta
 
     test = np.load(os.path.join(args.data, "test.npz"))
-    u_t = jnp.asarray(test["u"][: args.ntest])
-    f_t = jnp.asarray(test["f"][: args.ntest])
+    start = getattr(args, "start", 0) or 0
+    u_t = jnp.asarray(test["u"][start : start + args.ntest])
+    f_t = jnp.asarray(test["f"][start : start + args.ntest])
     ecfg = BurgersEvalConfig(
         rescaler=rescaler, coef_shape=tuple(coef_shape), ori_shape=tuple(ori_shape),
         wave_type=ns.wave_type, pad_mode=ns.pad_mode,
@@ -377,8 +378,8 @@ def cmd_eval_burgers(args):
         C_super = st_s.shape[-1]
         ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
         hi = np.load(args.super_data)
-        u_hi = jnp.asarray(hi["u"][: args.ntest])
-        f_hi = jnp.asarray(hi["f"][: args.ntest])
+        u_hi = jnp.asarray(hi["u"][start : start + args.ntest])
+        f_hi = jnp.asarray(hi["f"][start : start + args.ntest])
         levels, (ot, ox) = [], tuple(ori_shape)
         for _k in range(args.upsample):
             ot, ox = (ot - 1) * 2 + 1, ox * 2
@@ -386,7 +387,7 @@ def cmd_eval_burgers(args):
 
     results = {}
     for i in range(0, args.ntest, args.batch_eval):
-        rng = jax.random.PRNGKey(i)
+        rng = jax.random.PRNGKey(start + i)
         sl = slice(i, i + args.batch_eval)
         if args.task == "sim":
             r = eval_sim_batch(gd, state.ema_params, rng, ecfg,
@@ -399,7 +400,7 @@ def cmd_eval_burgers(args):
                     for (_, (ot_k, ox_k)) in levels
                 ]
                 outs = super_res_chain(
-                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
+                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + start + i),
                     ecfg_super, coef, levels=levels, u_target=u_hi[sl],
                     f_raw_per_level=f_lvls, channels=C_super,
                 )
@@ -418,9 +419,16 @@ def cmd_eval_burgers(args):
                     results.setdefault(k, []).append(v)
         print(f"batch {i}: " + ", ".join(f"{k}={np.concatenate(v).mean():.6f}" for k, v in results.items()), flush=True)
 
+    # raw per-chunk values: chunked runs (--start) can be combined exactly
+    # afterwards, and a crash mid-eval loses only the current chunk
+    np.savez(
+        os.path.join(outdir, f"eval_raw_{args.task}_{start}.npz"),
+        **{k: np.concatenate(v) for k, v in results.items()},
+    )
     save_path = os.path.join(outdir, "eval_results.json")
+    key = args.task if start == 0 else f"{args.task}_start{start}"
     for k, v in results.items():
-        save_acc(np.concatenate(v), save_path, args.task, k)
+        save_acc(np.concatenate(v), save_path, key, k)
     print("saved", save_path)
     for k, v in results.items():
         print(k, float(np.concatenate(v).mean()))
@@ -797,6 +805,10 @@ def main(argv=None):
     p.add_argument("--task", type=str, default="sim", choices=["sim", "control"])
     p.add_argument("--checkpoint", type=str, default="final")
     p.add_argument("--ntest", type=int, default=200)
+    p.add_argument("--start", type=int, default=0,
+                   help="offset into the test set: evaluate samples "
+                        "[start, start+ntest) so a long eval can run (and "
+                        "recover) in chunks; raw per-chunk values are saved")
     p.add_argument("--batch_eval", type=int, default=50)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--ddim_eta", type=float, default=1.0)
