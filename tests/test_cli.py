@@ -167,3 +167,23 @@ def test_cli_smoke_raw_pipeline(tmp_path):
           "--ntest", "2", "--batch_eval", "2", "--ddim_steps", "3"])
     res = json.load(open(os.path.join(results, "raw", "eval_results.json")))
     assert np.isfinite(res["sim"]["mse"]["mean"])
+
+
+def test_cli_aggregate_eval(tmp_path):
+    """aggregate-eval combines chunked eval_raw_*.npz into exact whole-run
+    statistics (chunking is our crash-recovery addition to the reference's
+    single-process eval, ``eval_ddpm_burgers.py:378-428``)."""
+    outdir = tmp_path / "results" / "agg_test"
+    outdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=100)
+    b = rng.normal(size=60)
+    np.savez(outdir / "eval_raw_sim_0.npz", ddpm_mse=a)
+    np.savez(outdir / "eval_raw_sim_100.npz", ddpm_mse=b)
+    main(["aggregate-eval", "--results", str(tmp_path / "results"),
+          "--exp", "agg_test", "--task", "sim"])
+    res = json.load(open(outdir / "eval_results.json"))
+    full = np.concatenate([a, b])
+    assert res["sim"]["ddpm_mse"]["mean"] == pytest.approx(full.mean())
+    assert res["sim"]["ddpm_mse"]["std"] == pytest.approx(full.std())
+    assert res["sim"]["ddpm_mse"]["median"] == pytest.approx(np.median(full))

@@ -81,6 +81,18 @@ def test_burgers_super_res_chain_tiny():
     assert r["u"].shape == (B, ot1, ox1)
     assert r["f"].shape == (B, ot1 - 1, ox1)
     assert np.isfinite(r["u"]).all() and np.isfinite(r["ddpm_mse"]).all()
+    # interpolation-baseline variants (reference eval_ddpm_burgers.py:207-218):
+    # here the level output is already at the target grid, so resize is
+    # identity and all three MSE variants must agree
+    for nm in ("linear", "nearest"):
+        assert r[f"ddpm_mse_{nm}_sr"].shape == r["ddpm_mse"].shape
+        np.testing.assert_allclose(
+            r[f"ddpm_mse_{nm}_sr"],
+            np.asarray(
+                ((r["u"][:, 1:] - np.asarray(u_hi)[:, 1:]) ** 2).mean(axis=(1, 2))
+            ),
+            rtol=1e-5,
+        )
 
 
 @pytest.mark.slow

@@ -406,6 +406,10 @@ def cmd_eval_burgers(args):
                 )
                 for k2, rr in enumerate(outs):
                     results.setdefault(f"ddpm_mse_up{k2 + 1}", []).append(rr["ddpm_mse"])
+                    for nm in ("linear", "nearest"):
+                        results.setdefault(f"ddpm_mse_up{k2 + 1}_{nm}_sr", []).append(
+                            rr[f"ddpm_mse_{nm}_sr"]
+                        )
         else:
             r = eval_control_batch(
                 gd, state.ema_params, rng, ecfg, u_target=u_t[sl],
@@ -739,6 +743,45 @@ def cmd_eval_smoke(args):
     print("saved", save_path)
 
 
+def cmd_aggregate_eval(args):
+    """Combine chunked eval runs into final statistics.
+
+    Chunked evals (``eval-burgers --start S --ntest N``) each write their raw
+    per-sample metric values to ``eval_raw_{task}_{S}.npz`` (reference has no
+    chunking — its eval either finishes Ntest=8000 in one process or loses
+    everything, ``eval_ddpm_burgers.py:378-428``).  This command concatenates
+    every chunk's raw values and stores exact whole-run {mean, std, median,
+    p90} under the plain task key of ``eval_results.json``, as if the eval
+    had run un-chunked.
+    """
+    import glob as _glob
+
+    from .eval.result_io import save_acc
+
+    outdir = os.path.join(args.results, args.exp)
+    paths = sorted(
+        _glob.glob(os.path.join(outdir, f"eval_raw_{args.task}_*.npz")),
+        key=lambda p: int(p.rsplit("_", 1)[1][:-4]),
+    )
+    if not paths:
+        raise SystemExit(f"no eval_raw_{args.task}_*.npz chunks under {outdir}")
+    starts, per_key = [], {}
+    for p in paths:
+        starts.append(int(p.rsplit("_", 1)[1][:-4]))
+        with np.load(p) as z:
+            for k in z.files:
+                per_key.setdefault(k, []).append(z[k])
+    n = {k: sum(len(a) for a in v) for k, v in per_key.items()}
+    print(f"chunks at starts {starts}; samples per metric {n}")
+    save_path = os.path.join(outdir, "eval_results.json")
+    for k, v in per_key.items():
+        vals = np.concatenate(v)
+        save_acc(vals, save_path, args.task, k)
+        print(f"{k}: n={len(vals)} mean={vals.mean():.6g} std={vals.std():.6g} "
+              f"median={np.median(vals):.6g} p90={np.percentile(vals, 90):.6g}")
+    print("saved", save_path)
+
+
 def main(argv=None):
     # multi-host bootstrap must precede any JAX call that initializes the
     # XLA backend; env-gated no-op on a single host
@@ -897,6 +940,11 @@ def main(argv=None):
     p.add_argument("--super_checkpoint", type=str, default="final")
     p.add_argument("--upsample", type=int, default=1, help="SR doublings")
     p.set_defaults(fn=cmd_eval_smoke)
+
+    p = _add_common(sub.add_parser("aggregate-eval"))
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--task", type=str, default="sim")
+    p.set_defaults(fn=cmd_aggregate_eval)
 
     args = ap.parse_args(argv)
     args.fn(args)

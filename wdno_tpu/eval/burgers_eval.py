@@ -320,6 +320,17 @@ def super_res_chain(
             channels=channels,
             low_coef=low,
         )
+        # interpolation baselines: each level's sample upsampled to the
+        # finest GT grid, bilinear and nearest (reference computes both
+        # alongside the subsampled-GT MSE, ``eval_ddpm_burgers.py:207-218``)
+        u_lvl = jnp.asarray(res["u"])
+        for name in ("linear", "nearest"):
+            up = jax.image.resize(
+                u_lvl, (u_lvl.shape[0],) + u_target.shape[1:], method=name
+            )
+            res[f"ddpm_mse_{name}_sr"] = np.asarray(
+                mse_deviation(up[:, 1:], u_target[:, 1:])
+            )
         # feed the refined coefficients to the next level
         coef = jnp.asarray(res["coef"])[:, :nt, :nx, :]
         out.append(res)
