@@ -98,7 +98,12 @@ def test_cli_burgers_super_pipeline(pipeline_dirs):
           os.path.join(hi, "test.npz"), "--upsample", "1",
           "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
     res = json.load(open(os.path.join(results, "cli_test", "eval_results.json")))
-    assert np.isfinite(res["sim"]["ddpm_mse_up1"]["mean"])
+    # runs with the SR chain attached are keyed/tagged "sim_sr" so their
+    # chunks never collide with base-only "sim" chunks of the same exp
+    assert np.isfinite(res["sim_sr"]["ddpm_mse_up1"]["mean"])
+    assert os.path.exists(
+        os.path.join(results, "cli_test", "eval_raw_sim_sr_0.npz")
+    )
 
 
 def test_cli_burgers_control_eval(pipeline_dirs):
@@ -187,3 +192,27 @@ def test_cli_aggregate_eval(tmp_path):
     assert res["sim"]["ddpm_mse"]["mean"] == pytest.approx(full.mean())
     assert res["sim"]["ddpm_mse"]["std"] == pytest.approx(full.std())
     assert res["sim"]["ddpm_mse"]["median"] == pytest.approx(np.median(full))
+
+
+def test_load_coef_db_probe(tmp_path):
+    """probe=True must reproduce the full load's shapes/dtypes from npy
+    headers alone (eval uses the coef db only as a shape probe)."""
+    from wdno_tpu.cli import _load_coef_db
+
+    path = str(tmp_path / "coef.npz")
+    rng = np.random.default_rng(0)
+    np.savez(
+        path,
+        n_levels=2,
+        coef_0=rng.normal(size=(5, 41, 60, 8)).astype(np.float32),
+        coef_1=rng.normal(size=(5, 21, 30, 8)).astype(np.float32),
+        shape=np.array([[41, 60], [21, 30]]),
+        ori_shape=np.array([[81, 120], [41, 60]]),
+    )
+    full = _load_coef_db(path)
+    prob = _load_coef_db(path, probe=True)
+    assert full["shape"] == prob["shape"]
+    assert full["ori_shape"] == prob["ori_shape"]
+    for a, b in zip(full["coef"], prob["coef"]):
+        assert b.shape == (1,) + a.shape[1:]
+        assert b.dtype == a.dtype

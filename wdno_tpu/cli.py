@@ -65,11 +65,39 @@ def cmd_prep_burgers(args):
     print("saved", out, [c.shape for c in db["coef"]])
 
 
-def _load_coef_db(path):
+def _load_coef_db(path, probe=False):
+    """Load a coefficient database written by ``prep-burgers``.
+
+    With ``probe=True``, only the npy headers of the (uncompressed) zip
+    members are read and the per-level arrays come back as single-sample
+    zeros of the right shape/dtype.  Eval entry points use the db purely as
+    a shape probe (sampling conditions are built from the test set), and
+    materializing the full blob costs minutes and several GB of host RAM
+    per eval chunk.
+    """
     z = np.load(path)
     n = int(z["n_levels"])
+    if probe:
+        import zipfile
+
+        from numpy.lib import format as npf
+
+        coef = []
+        with zipfile.ZipFile(path) as zf:
+            for i in range(n):
+                with zf.open(f"coef_{i}.npy") as f:
+                    version = npf.read_magic(f)
+                    read_header = (
+                        npf.read_array_header_1_0
+                        if version == (1, 0)
+                        else npf.read_array_header_2_0
+                    )
+                    shape, _, dtype = read_header(f)
+                coef.append(np.zeros((1,) + shape[1:], dtype))
+    else:
+        coef = [z[f"coef_{i}"] for i in range(n)]
     return {
-        "coef": [z[f"coef_{i}"] for i in range(n)],
+        "coef": coef,
         "shape": z["shape"].tolist(),
         "ori_shape": z["ori_shape"].tolist(),
     }
@@ -292,7 +320,10 @@ def cmd_eval_burgers(args):
             "experiment and pass this one via --super_exp for the SR chain"
         )
     if ns.wavelet:
-        db = _load_coef_db(os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"))
+        db = _load_coef_db(
+            os.path.join(args.data, f"coef_{ns.wave_type}_{ns.pad_mode}.npz"),
+            probe=True,
+        )
         rescaler = burgers_wavelet_rescaler(
             ns.wave_type, ns.pad_mode, is_super_model=ns.super_model,
             has_condition_channel=ns.condition_u0 or ns.condition_uT,
@@ -424,13 +455,16 @@ def cmd_eval_burgers(args):
         print(f"batch {i}: " + ", ".join(f"{k}={np.concatenate(v).mean():.6f}" for k, v in results.items()), flush=True)
 
     # raw per-chunk values: chunked runs (--start) can be combined exactly
-    # afterwards, and a crash mid-eval loses only the current chunk
+    # afterwards, and a crash mid-eval loses only the current chunk.  Runs
+    # with the SR chain attached get their own tag so their chunks don't
+    # collide with (differently-keyed) base-only chunks of the same task.
+    task_tag = args.task + ("_sr" if args.super_exp else "")
     np.savez(
-        os.path.join(outdir, f"eval_raw_{args.task}_{start}.npz"),
+        os.path.join(outdir, f"eval_raw_{task_tag}_{start}.npz"),
         **{k: np.concatenate(v) for k, v in results.items()},
     )
     save_path = os.path.join(outdir, "eval_results.json")
-    key = args.task if start == 0 else f"{args.task}_start{start}"
+    key = task_tag if start == 0 else f"{task_tag}_start{start}"
     for k, v in results.items():
         save_acc(np.concatenate(v), save_path, key, k)
     print("saved", save_path)
@@ -755,12 +789,18 @@ def cmd_aggregate_eval(args):
     had run un-chunked.
     """
     import glob as _glob
+    import re as _re
 
     from .eval.result_io import save_acc
 
     outdir = os.path.join(args.results, args.exp)
+    # strict match: chunk files are eval_raw_{task}_{start}.npz with a
+    # numeric start — a bare glob for task "sim" would also pick up the
+    # separately-tagged "sim_sr" chain chunks
+    pat = _re.compile(_re.escape(f"eval_raw_{args.task}_") + r"(\d+)\.npz$")
     paths = sorted(
-        _glob.glob(os.path.join(outdir, f"eval_raw_{args.task}_*.npz")),
+        (p for p in _glob.glob(os.path.join(outdir, f"eval_raw_{args.task}_*.npz"))
+         if pat.search(os.path.basename(p))),
         key=lambda p: int(p.rsplit("_", 1)[1][:-4]),
     )
     if not paths:
