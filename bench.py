@@ -16,6 +16,9 @@ measured_time (>1 means faster than the A100 estimate).
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -27,7 +30,38 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _wait_for_device(max_wait_s=None, poll_s=60):
+    """Block until the TPU answers a cheap probe, up to a deadline.
+
+    The tunnel to the chip can be transiently down; probing in a fresh
+    subprocess avoids initializing (and error-caching) the backend in this
+    process before the device is actually reachable.
+    """
+    max_wait_s = max_wait_s or float(os.environ.get("WDNO_BENCH_WAIT_S", 1800))
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()[0]"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            print(
+                "bench: device unreachable after "
+                f"{max_wait_s:.0f}s of probing — infra outage, not a perf result",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print("bench: device unavailable, retrying...", file=sys.stderr)
+        time.sleep(poll_s)
+
+
 def main():
+    _wait_for_device()
     from wdno_tpu.core.conditioning import smoke_spec
     from wdno_tpu.core.diffusion import GaussianDiffusion
     from wdno_tpu.core.schedules import make_schedule

@@ -216,3 +216,28 @@ def test_load_coef_db_probe(tmp_path):
     for a, b in zip(full["coef"], prob["coef"]):
         assert b.shape == (1,) + a.shape[1:]
         assert b.dtype == a.dtype
+
+
+def test_cli_datagen_smoke_parts_merge(tmp_path, monkeypatch):
+    """Chunked --part datagen + merge-smoke-data reproduces single-shot
+    datagen (scene identity = (seed, global index); rollouts match only
+    approximately across batch splits because CG reduction order differs)."""
+    import wdno_tpu.data.smoke_data as sd
+
+    monkeypatch.setattr(sd, "SCENE_LEN", 8)
+    out = str(tmp_path)
+    common = ["--record_stride", "2", "--batch", "2", "--out", out,
+              "--split", "train"]
+    main(["datagen-smoke", "--n", "4"] + common)
+    with np.load(os.path.join(out, "train.npz")) as z:
+        whole = {k: z[k].copy() for k in z.files}
+    main(["datagen-smoke", "--n", "2", "--start", "0", "--part"] + common)
+    main(["datagen-smoke", "--n", "2", "--start", "2", "--part"] + common)
+    main(["merge-smoke-data", "--data", out, "--split", "train",
+          "--remove_parts"])
+    assert not os.path.exists(os.path.join(out, "train_part0.npz"))
+    with np.load(os.path.join(out, "train.npz")) as z:
+        np.testing.assert_array_equal(whole["Density"][:, 0], z["Density"][:, 0])
+        for k in whole:
+            assert z[k].shape == whole[k].shape
+            np.testing.assert_allclose(whole[k], z[k], atol=0.15)

@@ -473,15 +473,17 @@ def cmd_eval_burgers(args):
 
 
 def cmd_datagen_smoke(args):
+    from .data import smoke_data as _sd
     from .data.smoke_data import generate_smoke_batch
     from .solvers.smoke.scene import make_scene
 
     scene = make_scene()
     os.makedirs(args.out, exist_ok=True)
     per = args.batch
+    start = args.start or 0
     # preallocate: accumulating per-batch lists + one concatenate peaked at
     # ~2x the dataset in host RSS (~108 GB transient at the 20k-scene scale)
-    F = 256 // args.record_stride + 1
+    F = _sd.SCENE_LEN // args.record_stride + 1
     r = args.record_res
     out = {
         "Density": np.empty((args.n, F, r, r), np.float32),
@@ -489,8 +491,8 @@ def cmd_datagen_smoke(args):
         "Control": np.empty((args.n, F, r, r, 2), np.float32),
         "Smoke": np.empty((args.n, F, 8), np.float32),
     }
-    for i in range(0, args.n, per):
-        b = min(per, args.n - i)
+    for i in range(start, start + args.n, per):
+        b = min(per, start + args.n - i)
         # test scenes come from a disjoint (seed, index) stream — with the
         # train seed they would be byte-identical to the first n train
         # scenes (the Burgers datagen applies the same +1 offset)
@@ -499,10 +501,44 @@ def cmd_datagen_smoke(args):
             b, scene, start=i,
             record_stride=args.record_stride, record_res=args.record_res)
         for k, v in fields.items():
-            out[k][i : i + b] = v
-        print(f"{i + b}/{args.n}", flush=True)
-    np.savez(os.path.join(args.out, f"{args.split}.npz"), **out)
-    print("saved", {k: v.shape for k, v in out.items()})
+            out[k][i - start : i - start + b] = v
+        print(f"{i + b - start}/{args.n}", flush=True)
+    # --part: write an index-stamped part file instead of {split}.npz so a
+    # long generation can be chunked and crash-recovered (scenes are pure
+    # functions of (seed, global index), so chunking never changes content);
+    # merge-smoke-data concatenates parts into the canonical {split}.npz
+    name = f"{args.split}_part{start}.npz" if args.part else f"{args.split}.npz"
+    np.savez(os.path.join(args.out, name), **out)
+    print("saved", name, {k: v.shape for k, v in out.items()})
+
+
+def cmd_merge_smoke_data(args):
+    """Concatenate chunked datagen-smoke --part outputs into {split}.npz."""
+    import glob as _glob
+    import re as _re
+
+    pat = _re.compile(_re.escape(f"{args.split}_part") + r"(\d+)\.npz$")
+    parts = sorted(
+        (p for p in _glob.glob(os.path.join(args.data, f"{args.split}_part*.npz"))
+         if pat.search(os.path.basename(p))),
+        key=lambda p: int(pat.search(os.path.basename(p)).group(1)),
+    )
+    if not parts:
+        raise SystemExit(f"no {args.split}_part*.npz under {args.data}")
+    starts = [int(pat.search(os.path.basename(p)).group(1)) for p in parts]
+    blobs = [np.load(p) for p in parts]
+    pos = 0
+    for s, z in zip(starts, blobs):
+        if s != pos:
+            raise SystemExit(f"parts are not contiguous: expected start {pos}, got {s}")
+        pos += z["Density"].shape[0]
+    out = {k: np.concatenate([z[k] for z in blobs]) for k in blobs[0].files}
+    np.savez(os.path.join(args.data, f"{args.split}.npz"), **out)
+    print("merged", len(parts), "parts ->", f"{args.split}.npz",
+          {k: v.shape for k, v in out.items()})
+    if args.remove_parts:
+        for p in parts:
+            os.remove(p)
 
 
 def cmd_prep_smoke(args):
@@ -919,7 +955,17 @@ def main(argv=None):
     p.add_argument("--record_res", type=int, default=64,
                    help="128 for the full-resolution simulation test set")
     p.add_argument("--out", type=str, default="data/2d")
+    p.add_argument("--start", type=int, default=0,
+                   help="global index of the first scene (chunked datagen)")
+    p.add_argument("--part", action="store_true",
+                   help="write {split}_part{start}.npz for later merging")
     p.set_defaults(fn=cmd_datagen_smoke)
+
+    p = _add_common(sub.add_parser("merge-smoke-data"))
+    p.add_argument("--data", type=str, default="data/2d")
+    p.add_argument("--split", type=str, default="train")
+    p.add_argument("--remove_parts", action="store_true")
+    p.set_defaults(fn=cmd_merge_smoke_data)
 
     p = _add_common(sub.add_parser("prep-smoke"))
     p.add_argument("--data", type=str, default="data/2d")
