@@ -859,6 +859,14 @@ def cmd_aggregate_eval(args):
 
 
 def main(argv=None):
+    # WDNO_PLATFORM=cpu forces the CLI onto a given backend.  Env vars alone
+    # (JAX_PLATFORMS/JAX_PLATFORM_NAME) are not enough on hosts where a TPU
+    # plugin re-exports JAX_PLATFORMS at import time; the config-level
+    # setting wins over the plugin.
+    if os.environ.get("WDNO_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["WDNO_PLATFORM"])
     # multi-host bootstrap must precede any JAX call that initializes the
     # XLA backend; env-gated no-op on a single host
     from .parallel.distributed import initialize
