@@ -4,20 +4,33 @@ The reference's only parallelism is torch-DDP data parallelism over NCCL via
 HF Accelerate (``scripts/smoke/train_base_sim.sh:3-10``,
 ``diffusion_2d.py:1153-1181``).  The TPU-native equivalent: a single jitted
 SPMD train step over a ``jax.sharding.Mesh`` with the batch sharded along a
-``data`` axis; XLA inserts the gradient all-reduce over ICI.  A ``model``
-axis is reserved for tensor-parallel sharding of larger models (unused at
-reference scale, kept open per SURVEY §2.5).
+``data`` axis; XLA inserts the gradient all-reduce over ICI.
+
+Beyond the reference, a ``model`` axis provides tensor parallelism: every
+conv/dense kernel's output-channel dimension is sharded over ``model``
+(Megatron-style column parallelism, expressed as GSPMD parameter
+annotations — XLA propagates the activation shardings and inserts the
+all-gathers/reduce-scatters over ICI).  At reference scale one chip holds
+the model, but the 140M-param Burgers UNet2D at dim 128 leaves little HBM
+headroom next to a device-resident dataset; TP also halves optimizer+EMA
+memory per chip.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "shard_batch", "replicate", "data_parallel_shardings"]
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_shardings",
+    "train_state_shardings",
+]
 
 
 def make_mesh(
@@ -47,3 +60,44 @@ def replicate(mesh: Mesh) -> NamedSharding:
 def data_parallel_shardings(mesh: Mesh):
     """(state_sharding, batch_sharding) for the canonical DP train step."""
     return replicate(mesh), shard_batch(mesh)
+
+
+def _path_leaf_name(path) -> str:
+    """Last key of a pytree path as a string ('kernel', 'bias', ...)."""
+    if not path:
+        return ""
+    key = path[-1]
+    for attr in ("key", "name", "idx"):
+        if hasattr(key, attr):
+            return str(getattr(key, attr))
+    return str(key)
+
+
+def train_state_shardings(mesh: Mesh, state: Any, axis: str = "model"):
+    """NamedShardings for a full TrainState pytree under DP x TP.
+
+    Rule: any leaf whose pytree path ends in ``kernel`` with ndim >= 2 and an
+    output-channel (last) dim divisible by the ``model`` axis size is sharded
+    ``P(None, ..., 'model')``; everything else (biases, norm scales, embedding
+    tables, scalars) is replicated.  Because optax's Adam moments and the EMA
+    mirror the param tree structure (same dict keys), the same path rule
+    shards them identically — optimizer memory is split with the params.
+
+    With ``model`` size 1 this degenerates to fully-replicated DP, so the
+    Trainer uses it unconditionally.
+    """
+    n_model = int(mesh.shape.get(axis, 1))
+    repl = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        if (
+            n_model > 1
+            and hasattr(leaf, "ndim")
+            and leaf.ndim >= 2
+            and _path_leaf_name(path) == "kernel"
+            and leaf.shape[-1] % n_model == 0
+        ):
+            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1)), axis))
+        return repl
+
+    return jax.tree_util.tree_map_with_path(rule, state)

@@ -23,7 +23,7 @@ import optax
 import orbax.checkpoint as ocp
 
 from ..core.diffusion import GaussianDiffusion
-from ..parallel.mesh import data_parallel_shardings, make_mesh
+from ..parallel.mesh import make_mesh, shard_batch, train_state_shardings
 from .state import TrainConfig, TrainState, create_train_state, ema_update, make_optimizer
 
 __all__ = ["Trainer", "make_train_step"]
@@ -108,9 +108,11 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.state = create_train_state(init_params, cfg)
 
-        state_sh, batch_sh = data_parallel_shardings(self.mesh)
+        batch_sh = shard_batch(self.mesh)
         self._batch_sharding = batch_sh
-        state_shardings = jax.tree_util.tree_map(lambda _: state_sh, self.state)
+        # Replicated under pure DP; kernel out-channels sharded over the
+        # 'model' axis when the mesh has one (tensor parallelism).
+        state_shardings = train_state_shardings(self.mesh, self.state)
         # One compiled step per resolution level (static XLA shape buckets,
         # replacing the reference SuperDataLoader's per-resolution batches).
         self._steps = [
