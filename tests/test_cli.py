@@ -67,6 +67,20 @@ def test_cli_burgers_pipeline(pipeline_dirs):
     assert np.isfinite(mse)
 
 
+def test_cli_burgers_tensor_parallel(pipeline_dirs):
+    # dp x tp mesh reachable from the CLI (runs on the 8-virtual-device
+    # CPU mesh; data/prep produced by test_cli_burgers_pipeline above)
+    data, results = pipeline_dirs
+    main(["train-burgers", "--data", data, "--results", results,
+          "--exp", "cli_tp", "--dim", "8", "--dim_mults", "1", "2",
+          "--batch", "8", "--steps", "2", "--timesteps", "10",
+          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0",
+          "--model_parallel", "2"])
+    metrics = [json.loads(l) for l in
+               open(os.path.join(results, "cli_tp", "metrics.jsonl"))]
+    assert metrics and np.isfinite(metrics[-1]["loss"])
+
+
 def test_cli_burgers_super_pipeline(pipeline_dirs):
     """Super-resolution path through the CLI: multi-level super training
     (MultiResolutionLoader) + zero-shot SR chain eval against high-res GT."""

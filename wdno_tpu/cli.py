@@ -219,10 +219,17 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
         if len(loaders) > 1
         else iter(loaders[0])
     )
+    mesh = None
+    tp = getattr(args, "model_parallel", 1)
+    if tp > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(model=tp)
+        print(f"mesh: data={mesh.shape['data']} x model={tp}")
     trainer = Trainer(
         gds, data_iter, cfg, state.params, outdir,
         save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
-        trace_dir=getattr(args, "trace_dir", None),
+        trace_dir=getattr(args, "trace_dir", None), mesh=mesh,
     )
     if getattr(args, "resume", False):
         restored = trainer.restore_latest()
@@ -921,6 +928,10 @@ def main(argv=None):
                    help="replace an existing experiment id")
     p.add_argument("--host_data", action="store_true",
                    help="force host shard loaders (skip device-resident input)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree: shard conv/dense kernel "
+                        "out-channels over a 'model' mesh axis of this size "
+                        "(devices = data x model)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")
@@ -1011,6 +1022,10 @@ def main(argv=None):
                    help="replace an existing experiment id")
     p.add_argument("--host_data", action="store_true",
                    help="force host shard loaders (skip device-resident input)")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree: shard conv/dense kernel "
+                        "out-channels over a 'model' mesh axis of this size "
+                        "(devices = data x model)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")
