@@ -41,9 +41,9 @@ def _tiny_problem():
     return gd, cfg, params, batch
 
 
-def _run_step(gd, cfg, params, batch, mesh):
+def _run_step(gd, cfg, params, batch, mesh, fsdp=False):
     state = create_train_state(params, cfg)
-    shardings = train_state_shardings(mesh, state)
+    shardings = train_state_shardings(mesh, state, fsdp=fsdp)
     step = jax.jit(
         make_train_step(gd, cfg),
         in_shardings=(shardings, NamedSharding(mesh, P("data")), None),
@@ -82,6 +82,26 @@ def test_tp_kernels_actually_sharded():
     # EMA and Adam moments mirror the param shardings (memory actually split)
     ema_flags = jax.tree_util.tree_map_with_path(is_tp, tp_state.ema_params)
     assert sum(jax.tree_util.tree_leaves(ema_flags)) == n_tp
+
+
+def test_fsdp_step_matches_dp():
+    gd, cfg, params, batch = _tiny_problem()
+    dp_state, dp_loss = _run_step(gd, cfg, params, batch, make_mesh(model=1))
+    fs_state, fs_loss = _run_step(
+        gd, cfg, params, batch, make_mesh(model=2), fsdp=True
+    )
+    np.testing.assert_allclose(fs_loss, dp_loss, rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dp_state.params),
+        jax.tree_util.tree_leaves(fs_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+    def on_data(path, leaf):
+        return any(ax == "data" for ax in leaf.sharding.spec if ax is not None)
+
+    flags = jax.tree_util.tree_map_with_path(on_data, fs_state.params)
+    assert sum(jax.tree_util.tree_leaves(flags)) > 10
 
 
 def test_tp4_executes():

@@ -221,15 +221,17 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
     )
     mesh = None
     tp = getattr(args, "model_parallel", 1)
+    fsdp = bool(getattr(args, "fsdp", False))
     if tp > 1:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(model=tp)
-        print(f"mesh: data={mesh.shape['data']} x model={tp}")
+        print(f"mesh: data={mesh.shape['data']} x model={tp}"
+              + (" (fsdp)" if fsdp else ""))
     trainer = Trainer(
         gds, data_iter, cfg, state.params, outdir,
         save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
-        trace_dir=getattr(args, "trace_dir", None), mesh=mesh,
+        trace_dir=getattr(args, "trace_dir", None), mesh=mesh, fsdp=fsdp,
     )
     if getattr(args, "resume", False):
         restored = trainer.restore_latest()
@@ -932,6 +934,10 @@ def main(argv=None):
                    help="tensor-parallel degree: shard conv/dense kernel "
                         "out-channels over a 'model' mesh axis of this size "
                         "(devices = data x model)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style fully-sharded state: additionally "
+                        "shard kernel in-channels + Adam moments + EMA over "
+                        "the 'data' axis (XLA all-gathers weights per layer)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")
@@ -1026,6 +1032,10 @@ def main(argv=None):
                    help="tensor-parallel degree: shard conv/dense kernel "
                         "out-channels over a 'model' mesh axis of this size "
                         "(devices = data x model)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3-style fully-sharded state: additionally "
+                        "shard kernel in-channels + Adam moments + EMA over "
+                        "the 'data' axis (XLA all-gathers weights per layer)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")

@@ -73,31 +73,43 @@ def _path_leaf_name(path) -> str:
     return str(key)
 
 
-def train_state_shardings(mesh: Mesh, state: Any, axis: str = "model"):
-    """NamedShardings for a full TrainState pytree under DP x TP.
+def train_state_shardings(
+    mesh: Mesh, state: Any, axis: str = "model", fsdp: bool = False
+):
+    """NamedShardings for a full TrainState pytree under DP x TP (x FSDP).
 
-    Rule: any leaf whose pytree path ends in ``kernel`` with ndim >= 2 and an
-    output-channel (last) dim divisible by the ``model`` axis size is sharded
-    ``P(None, ..., 'model')``; everything else (biases, norm scales, embedding
-    tables, scalars) is replicated.  Because optax's Adam moments and the EMA
-    mirror the param tree structure (same dict keys), the same path rule
-    shards them identically — optimizer memory is split with the params.
+    TP rule: any leaf whose pytree path ends in ``kernel`` with ndim >= 2 and
+    an output-channel (last) dim divisible by the ``model`` axis size is
+    sharded ``P(None, ..., 'model')``; everything else (biases, norm scales,
+    embedding tables, scalars) is replicated.  Because optax's Adam moments
+    and the EMA mirror the param tree structure (same dict keys), the same
+    path rule shards them identically — optimizer memory is split with the
+    params.
 
-    With ``model`` size 1 this degenerates to fully-replicated DP, so the
-    Trainer uses it unconditionally.
+    FSDP rule (``fsdp=True``): kernels are additionally sharded over the
+    ``data`` axis on their input-channel (second-to-last) dim — ZeRO-3-style
+    fully-sharded params/moments/EMA; XLA GSPMD inserts the per-layer weight
+    all-gathers in the forward/backward and reduce-scatters the gradients.
+
+    With ``model`` size 1 and ``fsdp=False`` this degenerates to
+    fully-replicated DP, so the Trainer uses it unconditionally.
     """
     n_model = int(mesh.shape.get(axis, 1))
+    n_data = int(mesh.shape.get("data", 1))
     repl = NamedSharding(mesh, P())
 
     def rule(path, leaf):
         if (
-            n_model > 1
-            and hasattr(leaf, "ndim")
-            and leaf.ndim >= 2
-            and _path_leaf_name(path) == "kernel"
-            and leaf.shape[-1] % n_model == 0
+            not hasattr(leaf, "ndim")
+            or leaf.ndim < 2
+            or _path_leaf_name(path) != "kernel"
         ):
-            return NamedSharding(mesh, P(*([None] * (leaf.ndim - 1)), axis))
-        return repl
+            return repl
+        spec = [None] * leaf.ndim
+        if n_model > 1 and leaf.shape[-1] % n_model == 0:
+            spec[-1] = axis
+        if fsdp and n_data > 1 and leaf.shape[-2] % n_data == 0:
+            spec[-2] = "data"
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(rule, state)

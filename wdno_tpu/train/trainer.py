@@ -90,6 +90,7 @@ class Trainer:
         results_dir: str,
         *,
         mesh=None,
+        fsdp: bool = False,
         save_every: int = 10_000,
         log_every: int = 100,
         seed: int = 0,
@@ -111,8 +112,9 @@ class Trainer:
         batch_sh = shard_batch(self.mesh)
         self._batch_sharding = batch_sh
         # Replicated under pure DP; kernel out-channels sharded over the
-        # 'model' axis when the mesh has one (tensor parallelism).
-        state_shardings = train_state_shardings(self.mesh, self.state)
+        # 'model' axis when the mesh has one (tensor parallelism), and
+        # in-channels over 'data' under fsdp (ZeRO-3 fully-sharded state).
+        state_shardings = train_state_shardings(self.mesh, self.state, fsdp=fsdp)
         # One compiled step per resolution level (static XLA shape buckets,
         # replacing the reference SuperDataLoader's per-resolution batches).
         self._steps = [
