@@ -65,6 +65,21 @@ def cmd_prep_burgers(args):
     print("saved", out, [c.shape for c in db["coef"]])
 
 
+
+def _eval_mesh(batch_eval: int):
+    """Data-parallel mesh for evaluation when several devices are visible
+    and the eval batch divides over them; None on a single chip (the
+    common case — the samplers then run unsharded exactly as before)."""
+    import jax
+
+    n = jax.device_count()
+    if n > 1 and batch_eval % n == 0:
+        from .parallel.mesh import make_mesh
+
+        return make_mesh(model=1)
+    return None
+
+
 def _load_coef_db(path, probe=False):
     """Load a coefficient database written by ``prep-burgers``.
 
@@ -426,12 +441,14 @@ def cmd_eval_burgers(args):
             levels.append((((ot + 1) // 2, (ox + 1) // 2), (ot, ox)))
 
     results = {}
+    eval_mesh = _eval_mesh(args.batch_eval)
     for i in range(0, args.ntest, args.batch_eval):
         rng = jax.random.PRNGKey(start + i)
         sl = slice(i, i + args.batch_eval)
         if args.task == "sim":
             r = eval_sim_batch(gd, state.ema_params, rng, ecfg,
-                               u_target=u_t[sl], f_raw=f_t[sl], channels=C)
+                               u_target=u_t[sl], f_raw=f_t[sl], channels=C,
+                               mesh=eval_mesh)
             results.setdefault("ddpm_mse", []).append(r["ddpm_mse"])
             if gd_super is not None:
                 coef = jnp.asarray(r["coef"])[:, : coef_shape[0], : coef_shape[1], :]
@@ -456,7 +473,7 @@ def cmd_eval_burgers(args):
                 wu=args.wu, wf=args.wf,
                 J_schedule=get_J_scheduler(args.J_scheduler, gd.num_timesteps),
                 channels=C, report_all=args.report_all,
-                solver_factor=args.solver_factor,
+                solver_factor=args.solver_factor, mesh=eval_mesh,
             )
             for k, v in r.items():
                 if k not in ("u", "f", "coef"):
@@ -784,13 +801,15 @@ def cmd_eval_smoke(args):
         ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
 
     results = {}
+    eval_mesh = _eval_mesh(args.batch_eval)
     keys = ("J_total", "J_target", "J_energy", "mse", "mse_wo_smoke", "n_l2")
     for i in range(0, test_state.shape[0], args.batch_eval):
         chunk = jnp.asarray(test_state[i : i + args.batch_eval])
         rng = jax.random.PRNGKey(i)
         if is_sim:
             r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
-                               test_state=chunk[:, :n_frames], channels=C)
+                               test_state=chunk[:, :n_frames], channels=C,
+                               mesh=eval_mesh)
             if gd_super is not None:
                 outs = smoke_super_res_chain(
                     gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
@@ -809,7 +828,7 @@ def cmd_eval_smoke(args):
             r = eval_smoke_control(
                 gd, state.ema_params, rng, ecfg, scene, test_state=big,
                 channels=C, standard_fixed_ratio=args.standard_fixed_ratio,
-                w_init=args.w_init, w_energy=args.w_energy,
+                w_init=args.w_init, w_energy=args.w_energy, mesh=eval_mesh,
             )
         for k in keys:
             if k in r:

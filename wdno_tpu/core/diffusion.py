@@ -286,8 +286,14 @@ class GaussianDiffusion:
         guidance: Optional[GuidanceConfig] = None,
         eta: Optional[float] = None,
         steps: Optional[int] = None,
+        batch_sharding=None,
     ) -> Array:
-        """DDIM sampler as one ``lax.scan`` (reference ``diffusion_1d.py:376-460``)."""
+        """DDIM sampler as one ``lax.scan`` (reference ``diffusion_1d.py:376-460``).
+
+        ``batch_sharding``: optional ``NamedSharding`` placing the batch axis
+        on a device mesh — the init noise and conditions are put there and
+        GSPMD shards the whole sampling scan across chips (multi-chip eval).
+        """
         eta = self.ddim_eta if eta is None else eta
         steps = steps or self.sampling_timesteps
         T = self.num_timesteps
@@ -297,6 +303,10 @@ class GaussianDiffusion:
         shape = (batch_size,) + self.state_shape
         rng, rng_init = jax.random.split(rng)
         img = jax.random.normal(rng_init, shape, jnp.float32)
+        if batch_sharding is not None:
+            img = jax.device_put(img, batch_sharding)
+            if cond_values is not None:
+                cond_values = jax.device_put(cond_values, batch_sharding)
 
         def body(carry, pair):
             img, rng = carry
@@ -336,6 +346,7 @@ class GaussianDiffusion:
         *,
         cond_values: Optional[Array] = None,
         guidance: Optional[GuidanceConfig] = None,
+        batch_sharding=None,
     ) -> Array:
         """Ancestral DDPM sampler as one ``lax.scan``
         (reference ``diffusion_1d.py:310-373``)."""
@@ -343,6 +354,10 @@ class GaussianDiffusion:
         shape = (batch_size,) + self.state_shape
         rng, rng_init = jax.random.split(rng)
         img = jax.random.normal(rng_init, shape, jnp.float32)
+        if batch_sharding is not None:
+            img = jax.device_put(img, batch_sharding)
+            if cond_values is not None:
+                cond_values = jax.device_put(cond_values, batch_sharding)
 
         def body(carry, t):
             img, rng = carry

@@ -18,6 +18,7 @@ import numpy as np
 
 from ..core.diffusion import GaussianDiffusion, GuidanceConfig
 from ..ops import packing as P
+from ..parallel.mesh import maybe_shard_batch
 from ..ops import wavelet as W
 from ..solvers.burgers import burgers_solve
 from .metrics import burgers_control_metric, mse_deviation
@@ -203,16 +204,19 @@ def eval_sim_batch(
     channels: int = 9,
     guidance: Optional[GuidanceConfig] = None,
     low_coef: Optional[Array] = None,  # [B, pad, pad, 8] RESCALED already? no: raw coef
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Conditioned simulation eval: sample u | (u0, f[, low]), compare to
-    stored ground truth (reference ``diffuse_2dconv`` with is_condition_f)."""
+    stored ground truth (reference ``diffuse_2dconv`` with is_condition_f).
+    With ``mesh``, the batch shards over the 'data' axis (multi-chip eval)."""
     B = f_raw.shape[0]
     u0 = u_target[:, 0, :: u_target.shape[-1] // cfg.ori_shape[1]]
     if cfg.is_wavelet:
         cond = make_cond_state(cfg, B, channels, u0=u0, f_raw=f_raw, low_coef=low_coef)
     else:
         cond = make_raw_cond_state(cfg, B, channels, u0=u0, f_raw=f_raw)
-    x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance,
+                  batch_sharding=maybe_shard_batch(mesh, B))
     if cfg.is_wavelet:
         coef = x * jnp.asarray(cfg.rescaler)
         u, f = coef_state_to_uf(coef, cfg)
@@ -246,6 +250,7 @@ def eval_control_batch(
     solver_T: float = 8.0,
     solver_factor: int = 16,
     report_all: bool = False,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Guided control eval: sample (u, f) steering u(T) toward the target,
     re-simulate the sampled f with the FD solver, score J
@@ -257,7 +262,8 @@ def eval_control_batch(
         cond = make_cond_state(cfg, B, channels, u0=u_target[:, 0], uT=u_target[:, -1])
     else:
         cond = make_raw_cond_state(cfg, B, channels, u0=u_target[:, 0], uT=u_target[:, -1])
-    x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guidance,
+                  batch_sharding=maybe_shard_batch(mesh, B))
     if cfg.is_wavelet:
         coef = x * jnp.asarray(cfg.rescaler)
         u, f = coef_state_to_uf(coef, cfg)

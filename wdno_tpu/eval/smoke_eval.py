@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.diffusion import GaussianDiffusion, GuidanceConfig
+from ..parallel.mesh import maybe_shard_batch
 from ..ops import packing as P
 from ..ops import wavelet as W
 from ..solvers.smoke.scene import SmokeScene
@@ -220,6 +221,7 @@ def eval_smoke_control(
     standard_fixed_ratio: float = 100.0,
     chunk: int = 10,
     return_solver_out: bool = False,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Guided control: sample a control plan, zero its direct interior
     (indirect control, reference ``:337``), re-simulate on-device, score.
@@ -238,7 +240,8 @@ def eval_smoke_control(
         cond = make_smoke_cond_state(cfg, channels, d0=d0)
     else:
         cond = make_smoke_raw_cond(cfg, channels, d0=d0, num_frames=base.shape[1])
-    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid,
+                  batch_sharding=maybe_shard_batch(mesh, B))
     if cfg.is_wavelet:
         fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
         pred = jnp.concatenate(
@@ -385,6 +388,7 @@ def eval_smoke_sim(
     channels: int = 42,
     w_init: float = 0.0,
     standard_fixed_ratio: float = 0.0,
+    mesh=None,
 ) -> Dict[str, np.ndarray]:
     """Conditioned simulation: sample fields given (d0, control), compare
     to stored test sims (reference ``multi_evaluate`` sim branch)."""
@@ -403,7 +407,8 @@ def eval_smoke_sim(
     else:
         cond = make_smoke_raw_cond(cfg, channels, d0=d0, control=control,
                                    num_frames=base.shape[1])
-    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid)
+    x = gd.sample(params, rng, B, cond_values=cond, guidance=guid,
+                  batch_sharding=maybe_shard_batch(mesh, B))
     if cfg.is_wavelet:
         fields, smoke = coef_state_to_fields(x * jnp.asarray(cfg.rescaler), cfg)
         pred = jnp.concatenate(

@@ -29,6 +29,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_shardings",
+    "maybe_shard_batch",
     "train_state_shardings",
 ]
 
@@ -55,6 +56,14 @@ def shard_batch(mesh: Mesh) -> NamedSharding:
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def maybe_shard_batch(mesh: Optional[Mesh], batch_size: int) -> Optional[NamedSharding]:
+    """``shard_batch(mesh)`` when the batch divides the 'data' axis, else
+    None (e.g. a short final eval chunk that can't split evenly)."""
+    if mesh is None or batch_size % int(mesh.shape.get("data", 1)):
+        return None
+    return shard_batch(mesh)
 
 
 def data_parallel_shardings(mesh: Mesh):
