@@ -63,12 +63,13 @@ def _wait_for_device(max_wait_s=None, poll_s=60):
             # than record nothing for the round, reprint the most recent
             # real chip measurement (cached on every successful run below),
             # flagged so it can't be mistaken for a fresh number.
-            if os.path.exists(_CACHE):
+            try:
                 rec = json.load(open(_CACHE))
                 rec["metric"] += "_cached_chip_unreachable"
                 print(json.dumps(rec))
                 sys.exit(0)
-            sys.exit(1)
+            except (OSError, ValueError):
+                sys.exit(1)
         print("bench: device unavailable, retrying...", file=sys.stderr)
         time.sleep(poll_s)
 
@@ -147,7 +148,10 @@ def main():
     }
     try:
         os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
-        json.dump(rec, open(_CACHE, "w"))
+        tmp = _CACHE + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, _CACHE)
     except OSError:
         pass
     print(json.dumps(rec))

@@ -69,8 +69,12 @@ def test_cli_burgers_pipeline(pipeline_dirs):
 
 def test_cli_burgers_tensor_parallel(pipeline_dirs):
     # dp x tp mesh reachable from the CLI (runs on the 8-virtual-device
-    # CPU mesh; data/prep produced by test_cli_burgers_pipeline above)
+    # CPU mesh); self-contained when run in isolation
     data, results = pipeline_dirs
+    if not os.path.exists(os.path.join(data, "train.npz")):
+        main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+              "--super_factor", "2", "--batch", "32", "--out", data])
+        main(["prep-burgers", "--data", data, "--n_downsample", "1"])
     main(["train-burgers", "--data", data, "--results", results,
           "--exp", "cli_tp", "--dim", "8", "--dim_mults", "1", "2",
           "--batch", "8", "--steps", "2", "--timesteps", "10",

@@ -66,18 +66,28 @@ def cmd_prep_burgers(args):
 
 
 
-def _eval_mesh(batch_eval: int):
-    """Data-parallel mesh for evaluation when several devices are visible
-    and the eval batch divides over them; None on a single chip (the
-    common case — the samplers then run unsharded exactly as before)."""
+def _eval_mesh(batch_eval: int, mode: str = "auto"):
+    """Data-parallel mesh for evaluation sampling.
+
+    ``auto`` shards when several devices are visible and the eval batch
+    divides over them; ``off`` never shards (bit-reproducible single-device
+    numbers — SPMD reassociation drifts slightly per sampler step);
+    ``on`` requires a divisible batch and fails loudly otherwise."""
     import jax
 
     n = jax.device_count()
-    if n > 1 and batch_eval % n == 0:
-        from .parallel.mesh import make_mesh
+    if mode == "off" or n <= 1:
+        return None
+    if batch_eval % n:
+        if mode == "on":
+            raise SystemExit(
+                f"--shard_eval on: batch_eval {batch_eval} does not divide "
+                f"the {n} visible devices"
+            )
+        return None
+    from .parallel.mesh import make_mesh
 
-        return make_mesh(model=1)
-    return None
+    return make_mesh(model=1)
 
 
 def _load_coef_db(path, probe=False):
@@ -237,6 +247,11 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
     mesh = None
     tp = getattr(args, "model_parallel", 1)
     fsdp = bool(getattr(args, "fsdp", False))
+    if tp < 1 or jax.device_count() % tp:
+        raise SystemExit(
+            f"--model_parallel {tp} must be >= 1 and divide the device "
+            f"count ({jax.device_count()})"
+        )
     if tp > 1:
         from .parallel.mesh import make_mesh
 
@@ -441,7 +456,7 @@ def cmd_eval_burgers(args):
             levels.append((((ot + 1) // 2, (ox + 1) // 2), (ot, ox)))
 
     results = {}
-    eval_mesh = _eval_mesh(args.batch_eval)
+    eval_mesh = _eval_mesh(args.batch_eval, getattr(args, 'shard_eval', 'auto'))
     for i in range(0, args.ntest, args.batch_eval):
         rng = jax.random.PRNGKey(start + i)
         sl = slice(i, i + args.batch_eval)
@@ -801,7 +816,7 @@ def cmd_eval_smoke(args):
         ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
 
     results = {}
-    eval_mesh = _eval_mesh(args.batch_eval)
+    eval_mesh = _eval_mesh(args.batch_eval, getattr(args, 'shard_eval', 'auto'))
     keys = ("J_total", "J_target", "J_energy", "mse", "mse_wo_smoke", "n_l2")
     for i in range(0, test_state.shape[0], args.batch_eval):
         chunk = jnp.asarray(test_state[i : i + args.batch_eval])
@@ -973,6 +988,9 @@ def main(argv=None):
                         "[start, start+ntest) so a long eval can run (and "
                         "recover) in chunks; raw per-chunk values are saved")
     p.add_argument("--batch_eval", type=int, default=50)
+    p.add_argument("--shard_eval", choices=("auto", "on", "off"), default="auto",
+                   help="shard sampling over visible devices (auto: when the "
+                        "batch divides; off: bit-reproducible single-device)")
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     p.add_argument("--wu", type=float, default=120000.0)
@@ -1068,6 +1086,9 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default="final")
     p.add_argument("--ntest", type=int, default=50)
     p.add_argument("--batch_eval", type=int, default=10)
+    p.add_argument("--shard_eval", choices=("auto", "on", "off"), default="auto",
+                   help="shard sampling over visible devices (auto: when the "
+                        "batch divides; off: bit-reproducible single-device)")
     p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     p.add_argument("--standard_fixed_ratio", type=float, default=100.0)

@@ -28,7 +28,6 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
-    "data_parallel_shardings",
     "maybe_shard_batch",
     "train_state_shardings",
 ]
@@ -64,11 +63,6 @@ def maybe_shard_batch(mesh: Optional[Mesh], batch_size: int) -> Optional[NamedSh
     if mesh is None or batch_size % int(mesh.shape.get("data", 1)):
         return None
     return shard_batch(mesh)
-
-
-def data_parallel_shardings(mesh: Mesh):
-    """(state_sharding, batch_sharding) for the canonical DP train step."""
-    return replicate(mesh), shard_batch(mesh)
 
 
 def _path_leaf_name(path) -> str:
