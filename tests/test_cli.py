@@ -78,11 +78,22 @@ def test_cli_burgers_tensor_parallel(pipeline_dirs):
     main(["train-burgers", "--data", data, "--results", results,
           "--exp", "cli_tp", "--dim", "8", "--dim_mults", "1", "2",
           "--batch", "8", "--steps", "2", "--timesteps", "10",
-          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0",
+          "--bf16", "False", "--log_every", "1", "--ckpt_every", "2",
           "--model_parallel", "2"])
     metrics = [json.loads(l) for l in
                open(os.path.join(results, "cli_tp", "metrics.jsonl"))]
     assert metrics and np.isfinite(metrics[-1]["loss"])
+
+    # checkpoint resume restores sharded state (orbax round-trip through
+    # host + jit resharding) and respects the total step budget
+    main(["train-burgers", "--data", data, "--results", results,
+          "--exp", "cli_tp", "--dim", "8", "--dim_mults", "1", "2",
+          "--batch", "8", "--steps", "4", "--timesteps", "10",
+          "--bf16", "False", "--log_every", "1", "--ckpt_every", "0",
+          "--model_parallel", "2", "--resume"])
+    metrics = [json.loads(l) for l in
+               open(os.path.join(results, "cli_tp", "metrics.jsonl"))]
+    assert metrics[-1]["step"] == 4 and np.isfinite(metrics[-1]["loss"])
 
 
 def test_cli_burgers_super_pipeline(pipeline_dirs):
