@@ -104,6 +104,33 @@ def test_fsdp_step_matches_dp():
     assert sum(jax.tree_util.tree_leaves(flags)) > 10
 
 
+def test_context_parallel_step_matches_dp():
+    # 'model' axis spent on the frame axis of the batch (sequence/context
+    # parallelism): GSPMD halo-exchanges the temporal convs and gathers
+    # the temporal attention; numbers must match the replicated DP step
+    from wdno_tpu.train.trainer import Trainer  # noqa: F401  (API parity)
+
+    gd, cfg, params, batch = _tiny_problem()
+    dp_state, dp_loss = _run_step(gd, cfg, params, batch, make_mesh(model=1))
+
+    mesh = make_mesh(model=2)
+    state = create_train_state(params, cfg)
+    shardings = train_state_shardings(mesh, state, axis="__unused__")
+    step = jax.jit(
+        make_train_step(gd, cfg),
+        in_shardings=(shardings, NamedSharding(mesh, P("data", "model")), None),
+        out_shardings=(shardings, None),
+    )
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(new_state)
+    np.testing.assert_allclose(float(metrics["loss"]), dp_loss, rtol=2e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(dp_state.params),
+        jax.tree_util.tree_leaves(new_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
 def test_sharded_sampling_matches_single_device():
     # multi-chip eval: DDIM sampling with the batch sharded over 'data'
     # must produce the same samples as the unsharded path (same rng)

@@ -252,16 +252,20 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
             f"--model_parallel {tp} must be >= 1 and divide the device "
             f"count ({jax.device_count()})"
         )
+    cp = bool(getattr(args, "context_parallel", False))
+    if cp and tp <= 1:
+        raise SystemExit("--context_parallel requires --model_parallel > 1")
     if tp > 1:
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(model=tp)
         print(f"mesh: data={mesh.shape['data']} x model={tp}"
-              + (" (fsdp)" if fsdp else ""))
+              + (" (fsdp)" if fsdp else "") + (" (cp)" if cp else ""))
     trainer = Trainer(
         gds, data_iter, cfg, state.params, outdir,
         save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
         trace_dir=getattr(args, "trace_dir", None), mesh=mesh, fsdp=fsdp,
+        context_parallel=cp,
     )
     if getattr(args, "resume", False):
         restored = trainer.restore_latest()
@@ -972,6 +976,10 @@ def main(argv=None):
                    help="ZeRO-3-style fully-sharded state: additionally "
                         "shard kernel in-channels + Adam moments + EMA over "
                         "the 'data' axis (XLA all-gathers weights per layer)")
+    p.add_argument("--context_parallel", action="store_true",
+                   help="spend the 'model' mesh axis on the batch's "
+                        "sequence (frame/time) dimension instead of kernel "
+                        "channels (requires --model_parallel > 1)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")
@@ -1073,6 +1081,10 @@ def main(argv=None):
                    help="ZeRO-3-style fully-sharded state: additionally "
                         "shard kernel in-channels + Adam moments + EMA over "
                         "the 'data' axis (XLA all-gathers weights per layer)")
+    p.add_argument("--context_parallel", action="store_true",
+                   help="spend the 'model' mesh axis on the batch's "
+                        "sequence (frame/time) dimension instead of kernel "
+                        "channels (requires --model_parallel > 1)")
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of a few steady-state "
                         "train steps into this directory (Perfetto-compatible)")

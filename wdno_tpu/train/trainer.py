@@ -91,6 +91,7 @@ class Trainer:
         *,
         mesh=None,
         fsdp: bool = False,
+        context_parallel: bool = False,
         save_every: int = 10_000,
         log_every: int = 100,
         seed: int = 0,
@@ -109,12 +110,24 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
         self.state = create_train_state(init_params, cfg)
 
-        batch_sh = shard_batch(self.mesh)
-        self._batch_sharding = batch_sh
         # Replicated under pure DP; kernel out-channels sharded over the
         # 'model' axis when the mesh has one (tensor parallelism), and
         # in-channels over 'data' under fsdp (ZeRO-3 fully-sharded state).
-        state_shardings = train_state_shardings(self.mesh, self.state, fsdp=fsdp)
+        # context_parallel instead spends the 'model' axis on the batch's
+        # sequence (frame/time) dimension — GSPMD inserts the halo
+        # exchanges for temporal convs and the attention all-gathers —
+        # so kernels stay replicated over 'model' in that mode.
+        if context_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch_sh = NamedSharding(self.mesh, P("data", "model"))
+            state_shardings = train_state_shardings(
+                self.mesh, self.state, axis="__unused__", fsdp=fsdp
+            )
+        else:
+            batch_sh = shard_batch(self.mesh)
+            state_shardings = train_state_shardings(self.mesh, self.state, fsdp=fsdp)
+        self._batch_sharding = batch_sh
         # One compiled step per resolution level (static XLA shape buckets,
         # replacing the reference SuperDataLoader's per-resolution batches).
         self._steps = [
