@@ -200,3 +200,42 @@ def test_load_reference_checkpoint_prefixes(tmp_path):
     a = params["params"]["Conv_0"]["kernel"]
     b = params_ema["params"]["Conv_0"]["kernel"]
     np.testing.assert_allclose(b, 2 * a, rtol=1e-6)
+
+
+def test_convert_torch_cli_to_eval(tmp_path):
+    """Full interop path: reference-format pickle -> convert-torch CLI ->
+    eval-burgers --checkpoint converted runs the converted weights."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(REF, "burgers"))
+    from ddpm_burgers.unet import Unet2D as TorchUnet2D
+
+    from wdno_tpu.cli import main
+
+    data, results = str(tmp_path / "d"), str(tmp_path / "r")
+    main(["datagen-burgers", "--n_train", "8", "--n_test", "8",
+          "--super_factor", "2", "--batch", "8", "--out", data])
+    main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+
+    tm = TorchUnet2D(dim=8, out_dim=9, dim_mults=(1, 2), channels=9,
+                     resnet_block_groups=1)
+    sd = tm.state_dict()
+    ckpt = {
+        "step": 7,
+        "model": {f"model.{k}": v for k, v in sd.items()},
+        "ema": {f"ema_model.model.{k}": v for k, v in sd.items()},
+    }
+    pt = str(tmp_path / "ref-model-7.pt")
+    torch.save(ckpt, pt)
+
+    main(["convert-torch", "--ckpt", pt, "--arch", "unet2d",
+          "--exp", "ref", "--results", results, "--",
+          "--dim", "8", "--dim_mults", "1", "2", "--bf16", "False"])
+    assert os.path.exists(os.path.join(results, "ref", "model-converted"))
+
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "ref", "--task", "sim", "--checkpoint", "converted",
+          "--ntest", "4", "--batch_eval", "4", "--ddim_steps", "5"])
+    res = json.load(open(os.path.join(results, "ref", "eval_results.json")))
+    assert np.isfinite(res["sim"]["ddpm_mse"]["mean"])
