@@ -23,7 +23,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # persistent compile cache: the fused train step takes minutes to compile cold
 jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")

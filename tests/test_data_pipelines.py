@@ -2,7 +2,6 @@
 state assembly from synthetic coefficient blobs, waypoint sampling."""
 
 import numpy as np
-import jax.numpy as jnp
 
 from wdno_tpu.data.burgers_data import build_raw_states, generate_burgers_dataset
 from wdno_tpu.data.smoke_data import (

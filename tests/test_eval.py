@@ -15,7 +15,7 @@ from wdno_tpu.eval.burgers_eval import (
     make_cond_state,
     u0uT_condition_channel,
 )
-from wdno_tpu.eval.metrics import burgers_control_metric, mse_deviation, smoke_sim_metrics
+from wdno_tpu.eval.metrics import burgers_control_metric, smoke_sim_metrics
 from wdno_tpu.eval.smoke_eval import (
     SmokeEvalConfig,
     coef_state_to_fields,

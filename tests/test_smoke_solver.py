@@ -21,7 +21,7 @@ from wdno_tpu.solvers.smoke.pressure import (
     solve_pressure_cg,
 )
 from wdno_tpu.solvers.smoke.scene import make_scene
-from wdno_tpu.solvers.smoke.sim import divergence_free, with_boundary_conditions
+from wdno_tpu.solvers.smoke.sim import divergence_free
 
 
 def _dense_laplace_oracle(active, fluid):

@@ -7,17 +7,15 @@ re-bound to the doubled shape, sampled, and decoded.  Checks shapes, finite
 outputs, and that hard conditions survive sampling.
 """
 
-import dataclasses
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 import pytest
 
-from wdno_tpu.core.conditioning import burgers_wavelet_spec, smoke_spec
+from wdno_tpu.core.conditioning import burgers_wavelet_spec
 from wdno_tpu.core.diffusion import GaussianDiffusion
 from wdno_tpu.core.schedules import make_schedule
-from wdno_tpu.data.rescalers import burgers_wavelet_rescaler, smoke_wavelet_rescaler
 from wdno_tpu.eval.burgers_eval import BurgersEvalConfig, super_res_chain
 from wdno_tpu.eval.smoke_eval import SmokeEvalConfig, smoke_super_res_chain
 from wdno_tpu.models.unet2d import UNet2D

@@ -19,7 +19,6 @@ a disk-I/O bottleneck flagged in SURVEY §3.3) — with:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

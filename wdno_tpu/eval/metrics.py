@@ -8,7 +8,7 @@ normalized-L2 / J_target / J_energy.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

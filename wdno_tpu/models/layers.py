@@ -11,7 +11,7 @@ relative position bias for temporal attention.
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax

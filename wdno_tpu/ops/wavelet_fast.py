@@ -19,14 +19,13 @@ single-VMEM-residency kernel.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import wavelet as Wref
-from .wavelet import Wavelet, get_wavelet
 
 __all__ = [
     "analysis_matrix",

@@ -15,7 +15,6 @@ training set.
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Tuple
 

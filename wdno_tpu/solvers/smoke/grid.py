@@ -13,7 +13,6 @@ bilinear sampler, so a full 256-frame rollout compiles into one scan.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

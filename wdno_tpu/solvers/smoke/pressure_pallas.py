@@ -12,7 +12,6 @@ portable fallback (reference keeps SciPy CG as its fallback the same way,
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

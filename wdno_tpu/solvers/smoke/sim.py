@@ -12,12 +12,10 @@ hot loop (SURVEY §3); here it is the batched stencil CG of
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .grid import advect_centered, divergence, pressure_gradient
 from .pressure import solve_pressure_cg

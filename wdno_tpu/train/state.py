@@ -8,7 +8,7 @@ Replaces the reference's Accelerate/ema_pytorch/torch-optim stack
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
