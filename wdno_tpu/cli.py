@@ -395,9 +395,11 @@ def cmd_eval_burgers(args):
         ns, [st0.shape[1:]], [coef_shape], rescaler
     )
     ckpt = ocp.StandardCheckpointer()
-    state = ckpt.restore(
-        os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}")), jax.device_get(state)
-    )
+    ckpt_path = os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}"))
+    if not os.path.isdir(ckpt_path):
+        have = sorted(n for n in os.listdir(outdir) if n.startswith("model-"))
+        raise SystemExit(f"no checkpoint {ckpt_path}; available: {have}")
+    state = ckpt.restore(ckpt_path, jax.device_get(state))
     gd = gds[0]
     gd.sampling_timesteps = args.ddim_steps
     gd.is_ddim_sampling = True
@@ -771,8 +773,12 @@ def cmd_eval_smoke(args):
     tcfg = TrainConfig()
     state = create_train_state(params, tcfg)
     ckpt = ocp.StandardCheckpointer()
+    ckpt_path = os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}"))
+    if not os.path.isdir(ckpt_path):
+        have = sorted(n for n in os.listdir(outdir) if n.startswith("model-"))
+        raise SystemExit(f"no checkpoint {ckpt_path}; available: {have}")
     state = ckpt.restore(
-        os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}")),
+        ckpt_path,
         jax.device_get(state),
     )
 
