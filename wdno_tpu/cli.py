@@ -946,6 +946,67 @@ def cmd_convert_torch(args):
     print(f"converted {args.ckpt} ({args.arch}, {n / 1e6:.1f}M params) -> {path}")
 
 
+def cmd_doctor(args):
+    """Environment diagnosis: backend, devices, HBM, native components,
+    compile cache — the first thing to run on a new host."""
+    import importlib.metadata as md
+    import platform as plat
+
+    print(f"python {plat.python_version()} on {plat.system()} {plat.machine()}")
+    for pkg in ("jax", "jaxlib", "flax", "optax", "orbax-checkpoint", "numpy"):
+        try:
+            print(f"{pkg} {md.version(pkg)}")
+        except md.PackageNotFoundError:
+            print(f"{pkg} NOT INSTALLED")
+
+    import subprocess
+    import sys
+
+    # probe the backend in a SUBPROCESS: a failed init error-caches in-process
+    # and, on tunneled TPU hosts, takes ~20 min to fail (see RESULTS.md)
+    probe = (
+        "import os, jax;"
+        "p = os.environ.get('WDNO_PLATFORM');"
+        "p and jax.config.update('jax_platforms', p);"
+        "ds = jax.devices();"
+        "print(ds[0].platform, len(ds), [d.device_kind for d in ds][:2])"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", probe],
+                           timeout=120, capture_output=True, text=True)
+        ok = r.returncode == 0
+        out = r.stdout.strip()
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok:
+        print("devices:", out)
+    else:
+        print("devices: UNREACHABLE (backend init failed/timed out — tunnel down?)")
+        return
+
+    import jax
+
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        if ms:
+            print(f"HBM: {ms.get('bytes_in_use', 0) / 1e9:.2f} / "
+                  f"{ms.get('bytes_limit', 0) / 1e9:.2f} GB in use")
+        else:
+            print("HBM: backend reports no memory stats")
+    except Exception as e:
+        print(f"HBM: unavailable ({type(e).__name__})")
+
+    from .data import loader
+
+    lib = loader._build_native()
+    print("native shard loader:", "OK" if lib is not None else
+          "UNAVAILABLE (g++ build failed; python mmap fallback active)")
+    cache = jax.config.jax_compilation_cache_dir
+    print("compile cache:", cache or "DISABLED")
+    print(f"virtual mesh: XLA_FLAGS={os.environ.get('XLA_FLAGS', '')!r}, "
+          f"device_count={jax.device_count()}")
+
+
 def _build_parser():
     ap = argparse.ArgumentParser(prog="wdno_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1156,6 +1217,9 @@ def _build_parser():
                         "parser, after a literal '--' separator (e.g. "
                         "-- --dim 128 --dim_mults 1 2 4 8 --condition_f True)")
     p.set_defaults(fn=cmd_convert_torch)
+
+    p = sub.add_parser("doctor")
+    p.set_defaults(fn=cmd_doctor)
 
     return ap
 
