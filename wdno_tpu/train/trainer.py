@@ -153,10 +153,19 @@ class Trainer:
 
     # ------------------------------------------------------------------ io
 
-    def save(self, milestone: int) -> str:
+    def save(self, milestone: int, *, block: bool = True) -> str:
+        """Checkpoint the full TrainState as ``model-{milestone}``.
+
+        ``block=False`` lets orbax write asynchronously so periodic
+        milestone saves overlap training (the host-side device_get is
+        still synchronous); the previous async save is drained first —
+        orbax writes into a temp dir and renames, so an interrupted async
+        save never leaves a restorable-looking partial checkpoint."""
+        self._ckpt.wait_until_finished()
         path = os.path.join(os.path.abspath(self.results_dir), f"model-{milestone}")
         self._ckpt.save(path, jax.device_get(self.state), force=True)
-        self._ckpt.wait_until_finished()
+        if block:
+            self._ckpt.wait_until_finished()
         return path
 
     def load(self, milestone_or_path) -> None:
@@ -261,8 +270,10 @@ class Trainer:
                 steps_at_log, t0 = i + 1, now
                 self._log(step, last)
             if self.save_every and step % self.save_every == 0:
-                self.save(step // self.save_every)
+                self.save(step // self.save_every, block=False)
         if self._tracing:  # num_steps ended inside the trace window
             jax.profiler.stop_trace()
             self._tracing = False
+        # drain any in-flight async milestone save before returning
+        self._ckpt.wait_until_finished()
         return last
