@@ -223,6 +223,33 @@ def test_cli_aggregate_eval(tmp_path):
     assert res["sim"]["ddpm_mse"]["median"] == pytest.approx(np.median(full))
 
 
+def test_cli_aggregate_eval_dedup_and_coverage(tmp_path):
+    """Two producers (TPU 1000-blocks ascending, CPU 50-chunks descending)
+    can race and overlap; the aggregator must dedup exactly (sample i of a
+    chunk at start S is global sample S+i), ignore empty reservation
+    placeholders, and with --expect_ntest fail loudly on gaps."""
+    outdir = tmp_path / "results" / "agg_test"
+    outdir.mkdir(parents=True)
+    truth = np.arange(200, dtype=np.float64) ** 1.5  # distinct per sample
+    # block chunk [0,150) and an overlapping CPU chunk [100,150)
+    np.savez(outdir / "eval_raw_sim_0.npz", ddpm_mse=truth[0:150])
+    np.savez(outdir / "eval_raw_sim_100.npz", ddpm_mse=truth[100:150])
+    np.savez(outdir / "eval_raw_sim_150.npz", ddpm_mse=truth[150:200])
+    np.savez(outdir / "eval_raw_sim_1000.npz")  # empty placeholder
+    main(["aggregate-eval", "--results", str(tmp_path / "results"),
+          "--exp", "agg_test", "--task", "sim", "--expect_ntest", "200"])
+    res = json.load(open(outdir / "eval_results.json"))
+    assert res["sim"]["ddpm_mse"]["mean"] == pytest.approx(truth.mean())
+    assert res["sim"]["ddpm_mse"]["std"] == pytest.approx(truth.std())
+    # a gap must abort before writing stats
+    (outdir / "eval_raw_sim_150.npz").unlink()
+    (outdir / "eval_results.json").unlink()
+    with pytest.raises(SystemExit, match="incomplete"):
+        main(["aggregate-eval", "--results", str(tmp_path / "results"),
+              "--exp", "agg_test", "--task", "sim", "--expect_ntest", "200"])
+    assert not (outdir / "eval_results.json").exists()
+
+
 def test_load_coef_db_probe(tmp_path):
     """probe=True must reproduce the full load's shapes/dtypes from npy
     headers alone (eval uses the coef db only as a shape probe)."""

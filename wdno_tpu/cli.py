@@ -876,6 +876,13 @@ def cmd_aggregate_eval(args):
     every chunk's raw values and stores exact whole-run {mean, std, median,
     p90} under the plain task key of ``eval_results.json``, as if the eval
     had run un-chunked.
+
+    Chunks may come from several producers (the TPU loop's 1000-sample
+    blocks and the CPU fallback's 50-sample chunks) and may overlap after a
+    race; sample ``i`` of a chunk starting at ``S`` is always global sample
+    ``S+i``, so overlaps are deduplicated exactly (first writer in
+    ascending-start order wins) and, with ``--expect_ntest N``, coverage of
+    [0, N) is verified before any statistic is written.
     """
     import glob as _glob
     import re as _re
@@ -894,17 +901,69 @@ def cmd_aggregate_eval(args):
     )
     if not paths:
         raise SystemExit(f"no eval_raw_{args.task}_*.npz chunks under {outdir}")
-    starts, per_key = [], {}
+    # owner[global_sample] = (chunk_idx, offset); ascending-start order, so
+    # on overlap the earlier-starting chunk keeps its samples
+    chunks, owner = [], {}
     for p in paths:
-        starts.append(int(p.rsplit("_", 1)[1][:-4]))
+        start = int(p.rsplit("_", 1)[1][:-4])
         with np.load(p) as z:
-            for k in z.files:
-                per_key.setdefault(k, []).append(z[k])
-    n = {k: sum(len(a) for a in v) for k, v in per_key.items()}
-    print(f"chunks at starts {starts}; samples per metric {n}")
+            data = {k: z[k] for k in z.files}
+        if not data:
+            continue  # empty reservation placeholder, not a finished chunk
+        lens = {len(v) for v in data.values()}
+        if len(lens) != 1:
+            raise SystemExit(f"{p}: metrics disagree on sample count {sorted(lens)}")
+        n = lens.pop()
+        idx = len(chunks)
+        chunks.append((start, n, data, os.path.basename(p)))
+        for off in range(n):
+            owner.setdefault(start + off, (idx, off))
+    if not chunks:
+        raise SystemExit(f"only empty placeholder chunks under {outdir}")
+    covered = sorted(owner)
+    total = sum(n for _, n, _, _ in chunks)
+    dropped = total - len(covered)
+    if dropped:
+        print(f"overlap: {dropped} duplicated samples dropped (first chunk wins)")
+    gaps = []
+    lo = covered[0]
+    for a, b in zip(covered, covered[1:]):
+        if b != a + 1:
+            gaps.append((a + 1, b))
+    span = f"[{covered[0]}, {covered[-1] + 1})"
+    print(f"chunks: {[(c[0], c[1]) for c in chunks]}; {len(covered)} samples in {span}")
+    if args.expect_ntest is not None:
+        want = set(range(args.expect_ntest))
+        missing = sorted(want - set(covered))
+        if missing or covered[0] != 0:
+            ranges, s0 = [], missing[0]
+            prev = s0
+            for m in missing[1:]:
+                if m != prev + 1:
+                    ranges.append((s0, prev + 1))
+                    s0 = m
+                prev = m
+            ranges.append((s0, prev + 1))
+            raise SystemExit(
+                f"coverage of [0, {args.expect_ntest}) incomplete: "
+                f"{len(missing)} samples missing in ranges {ranges[:20]}"
+            )
+    elif gaps:
+        print(f"WARNING: gaps between covered samples: {gaps[:20]}")
+    keys = sorted({k for _, _, data, _ in chunks for k in data})
     save_path = os.path.join(outdir, "eval_results.json")
-    for k, v in per_key.items():
-        vals = np.concatenate(v)
+    for k in keys:
+        vals = []
+        for g in covered:
+            idx, off = owner[g]
+            data = chunks[idx][2]
+            if k not in data:
+                raise SystemExit(
+                    f"metric {k!r} missing from chunk {chunks[idx][3]} — "
+                    "chunks were produced by incompatible eval configs"
+                )
+            vals.append(data[k][off])
+        vals = np.asarray(vals)
         save_acc(vals, save_path, args.task, k)
         print(f"{k}: n={len(vals)} mean={vals.mean():.6g} std={vals.std():.6g} "
               f"median={np.median(vals):.6g} p90={np.percentile(vals, 90):.6g}")
@@ -1204,6 +1263,8 @@ def _build_parser():
     p = _add_common(sub.add_parser("aggregate-eval"))
     p.add_argument("--exp", type=str, required=True)
     p.add_argument("--task", type=str, default="sim")
+    p.add_argument("--expect_ntest", type=int, default=None,
+                   help="verify the chunks cover exactly [0, N) before writing stats")
     p.set_defaults(fn=cmd_aggregate_eval)
 
     p = _add_common(sub.add_parser("convert-torch"))
