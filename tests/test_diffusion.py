@@ -146,6 +146,38 @@ def test_ddim_sampler_respects_conditioning():
     np.testing.assert_allclose(out[:, :, 6:, :], 0.0)  # padded cols
 
 
+def test_ddim_trajectory_matches_numpy_oracle():
+    """The whole scanned DDIM trajectory against an independent numpy oracle
+    (eta=0, deterministic 'model'): verifies the linspace time pairing, the
+    clip->guide->rederive order, and the final-step x_start semantics of the
+    reference sampler (``diffusion_1d.py:376-460``) as one closed form."""
+    T, steps, shape = 20, 5, (4, 4, 2)
+    sched = S.make_schedule("cosine", T)
+    # deterministic model: eps_hat = 0.3*x + 0.01*t (no params)
+    model = lambda p, x, t: 0.3 * x + 0.01 * t.reshape((-1,) + (1,) * (x.ndim - 1)).astype(
+        jnp.float32
+    )
+    gd = GaussianDiffusion(model, sched, state_shape=shape, sampling_timesteps=steps)
+    rng = jax.random.PRNGKey(42)
+    got = np.asarray(gd.ddim_sample(None, rng, 3, eta=0.0, steps=steps))
+
+    # oracle: same initial noise draw (shared randomness source, independent math)
+    _, rng_init = jax.random.split(rng)
+    img = np.asarray(jax.random.normal(rng_init, (3,) + shape, jnp.float32), np.float64)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    times = np.linspace(-1, T - 1, steps + 1).astype(np.int32)[::-1]
+    for time, time_next in zip(times[:-1], times[1:]):
+        eps = 0.3 * img + 0.01 * time
+        x0 = np.clip((img / np.sqrt(acp[time]) - np.sqrt(1 / acp[time] - 1) * eps), -1, 1)
+        eps = (img / np.sqrt(acp[time]) - x0) / np.sqrt(1 / acp[time] - 1)  # rederive
+        if time_next < 0:
+            img = x0
+            continue
+        a_next = acp[time_next]
+        img = x0 * np.sqrt(a_next) + np.sqrt(1 - a_next) * eps
+    np.testing.assert_allclose(got, img, rtol=2e-4, atol=2e-5)
+
+
 def test_ddpm_sampler_runs_and_is_finite():
     gd = _tiny_gd()
     out = np.asarray(gd.p_sample_loop(None, jax.random.PRNGKey(1), 2))

@@ -225,8 +225,10 @@ class GaussianDiffusion:
             else:
                 pred_noise = pred_noise + g
             x_start = clip(self.predict_start_from_noise(x, t, pred_noise))
-            if clip_x_start and rederive_pred_noise:
-                pred_noise = self.predict_noise_from_start(x, t, x_start)
+        # reference rederives unconditionally (guided or not) so pred_noise
+        # is consistent with the clipped x_start (``diffusion_1d.py:226-227``)
+        if clip_x_start and rederive_pred_noise:
+            pred_noise = self.predict_noise_from_start(x, t, x_start)
 
         return ModelPrediction(pred_noise, x_start)
 
