@@ -365,9 +365,14 @@ class GaussianDiffusion:
             img, rng = carry
             img = self._apply_cond(img, cond_values)
             t_b = jnp.full((batch_size,), t, jnp.int32)
+            # reference order (``diffusion_1d.py:242-247``, ``diffusion_2d.py:758-764``):
+            # model_predictions runs UNclipped — guidance sees the raw x_start
+            # estimate — and the clamp happens before the posterior
             pred_noise, x_start = self.model_predictions(
-                params, img, t_b, guidance=guidance, clip_x_start=self.clip_denoised
+                params, img, t_b, guidance=guidance, clip_x_start=False
             )
+            if self.clip_denoised:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
             mean, _, log_var = self.q_posterior(x_start, img, t_b)
             rng, rng_n = jax.random.split(rng)
             noise = jax.random.normal(rng_n, shape, jnp.float32)
