@@ -295,6 +295,14 @@ class GaussianDiffusion:
         ``batch_sharding``: optional ``NamedSharding`` placing the batch axis
         on a device mesh — the init noise and conditions are put there and
         GSPMD shards the whole sampling scan across chips (multi-chip eval).
+
+        Deliberate deviation: conditions are re-imposed on the RETURNED
+        sample too.  The Burgers reference does the same
+        (``diffusion_1d.py:437-457``) but the smoke reference returns the
+        final x_start with its condition channels left at the model's
+        denoised estimate (``diffusion_2d.py:897-933``); those channels are
+        never scored, and the conditioning contract holding on the output is
+        what the SR chain and the evaluators assume.
         """
         eta = self.ddim_eta if eta is None else eta
         steps = steps or self.sampling_timesteps
