@@ -201,6 +201,43 @@ def test_guidance_shifts_samples():
     assert np.abs(guided - base).max() > 1e-4
 
 
+def test_ddpm_guided_matches_numpy_oracle():
+    """Guided ancestral sampling against a numpy oracle: the reference clamps
+    x_start AFTER model_predictions (guidance must see the UNclipped x_start,
+    ``diffusion_1d.py:242-247``), so this pins both the guidance input and
+    the clamp-before-posterior order."""
+    T, shape = 8, (4, 4, 2)
+    sched = S.make_schedule("cosine", T)
+    model = lambda p, x, t: 0.25 * x
+    guid = GuidanceConfig(grad_fn=lambda x: 0.1 * x + 0.02, weight=1.0)
+    gd = GaussianDiffusion(model, sched, state_shape=shape)
+    rng = jax.random.PRNGKey(7)
+    got = np.asarray(gd.p_sample_loop(None, rng, 2, guidance=guid))
+
+    # oracle reproducing the same rng stream (same split sequence)
+    rng_np = rng
+    rng_np, rng_init = jax.random.split(rng_np)
+    img = np.asarray(jax.random.normal(rng_init, (2,) + shape, jnp.float32), np.float64)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    acp_prev = np.concatenate([[1.0], acp[:-1]])
+    betas = np.asarray(sched.betas, np.float64)
+    alphas = 1 - betas
+    post_c1 = betas * np.sqrt(acp_prev) / (1 - acp)
+    post_c2 = (1 - acp_prev) * np.sqrt(alphas) / (1 - acp)
+    post_var = betas * (1 - acp_prev) / (1 - acp)
+    post_logvar = np.log(np.maximum(post_var, post_var[1]))
+    carry_rng = rng_np
+    for t in range(T - 1, -1, -1):
+        eps = 0.25 * img + (0.1 * (img / np.sqrt(acp[t]) - np.sqrt(1 / acp[t] - 1) * (0.25 * img)) + 0.02)
+        x0 = img / np.sqrt(acp[t]) - np.sqrt(1 / acp[t] - 1) * eps  # unclipped chain
+        x0 = np.clip(x0, -1, 1)  # clamp before posterior only
+        mean = post_c1[t] * x0 + post_c2[t] * img
+        carry_rng, rng_n = jax.random.split(carry_rng)
+        noise = np.asarray(jax.random.normal(rng_n, (2,) + shape, jnp.float32), np.float64)
+        img = mean + np.exp(0.5 * post_logvar[t]) * noise * (t > 0)
+    np.testing.assert_allclose(got, img, rtol=3e-4, atol=3e-5)
+
+
 def test_p_losses_masks_conditioned_channels():
     spec = burgers_wavelet_spec((8, 8, 3), (6, 6), is_condition_f=False, is_condition_u0=True)
     sched = S.make_schedule("cosine", 50)
