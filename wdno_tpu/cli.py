@@ -144,7 +144,8 @@ def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
     C = state_shapes[0][-1]
     model = UNet2D(
         dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
-        resnet_block_groups=1, dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        resnet_block_groups=getattr(args, "resnet_block_groups", 1),
+        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     sched = make_schedule(args.beta_schedule, args.timesteps)
 
@@ -161,12 +162,14 @@ def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
                 tuple(spec_shape), (nt_bump, coef_shape[1]),
                 is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
                 is_condition_f=args.condition_f, is_super_model=args.super_model,
+                is_condition_pad=getattr(args, "condition_pad", True),
             )
         else:
             spec = burgers_raw_spec(
                 tuple(spec_shape), tuple(coef_shape),
                 is_condition_u0=args.condition_u0, is_condition_uT=args.condition_uT,
                 is_condition_f=args.condition_f, is_super_model=args.super_model,
+                is_condition_pad=getattr(args, "condition_pad", True),
             )
         gds.append(GaussianDiffusion(
             model.apply, sched, state_shape=tuple(spec_shape), spec=spec,
@@ -639,13 +642,15 @@ def cmd_train_smoke(args):
             del st
         _, _, full_shape, _ = parse_npy_header(cache)
         spec = smoke_spec(full_shape[1:], full_shape[1:4], is_wavelet=False,
-                          is_condition_control=args.condition_control)
+                          is_condition_control=args.condition_control,
+                          is_condition_pad=getattr(args, "condition_pad", True))
         model = UNet3D(dim=args.dim, dim_mults=tuple(args.dim_mults),
                        channels=full_shape[-1],
                        dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
         sched = make_schedule("sigmoid", args.timesteps)
         cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
-                          train_num_steps=args.steps)
+                          train_num_steps=args.steps,
+                          gradient_accumulate_every=getattr(args, "grad_accum", 1))
         gd = GaussianDiffusion(model.apply, sched, state_shape=full_shape[1:], spec=spec)
         x0 = jnp.zeros((args.batch,) + full_shape[1:])
         params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
@@ -692,6 +697,7 @@ def cmd_train_smoke(args):
         specs.append(smoke_spec(
             full_shape[1:], cs, is_condition_control=args.condition_control,
             is_super_model=args.super_model,
+            is_condition_pad=getattr(args, "condition_pad", True),
         ))
         shard_paths.append(cache)
         state_shapes.append(full_shape[1:])
@@ -702,7 +708,8 @@ def cmd_train_smoke(args):
                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     sched = make_schedule("sigmoid", args.timesteps)
     cfg = TrainConfig(learning_rate=args.lr, lr_schedule="multistep",
-                      train_num_steps=args.steps)
+                      train_num_steps=args.steps,
+                      gradient_accumulate_every=getattr(args, "grad_accum", 1))
     gds = [GaussianDiffusion(model.apply, sched, state_shape=state_shapes[i],
                              spec=specs[i], loss_channel_weight=None)
            for i in range(len(state_shapes))]
@@ -748,7 +755,8 @@ def cmd_eval_smoke(args):
         state_shape = (24, 40, 40, C)
         rescaler = smoke_wavelet_rescaler(ns.wave_type)
         spec = smoke_spec(state_shape, (18, 34, 34),
-                          is_condition_control=ns.condition_control)
+                          is_condition_control=ns.condition_control,
+                          is_condition_pad=getattr(ns, "condition_pad", True))
     else:  # raw (non-wavelet) mode: physical states, reference [32, 64, 64, 6]
         from .data.rescalers import smoke_raw_rescaler
 
@@ -759,7 +767,8 @@ def cmd_eval_smoke(args):
         state_shape = (min(32, dshape[1]), dshape[2], dshape[3], C)
         rescaler = smoke_raw_rescaler()
         spec = smoke_spec(state_shape, state_shape[:3], is_wavelet=False,
-                          is_condition_control=ns.condition_control)
+                          is_condition_control=ns.condition_control,
+                          is_condition_pad=getattr(ns, "condition_pad", True))
     n_frames = 32 if is_wavelet else state_shape[0]
     model = UNet3D(dim=ns.dim, dim_mults=tuple(getattr(ns, "dim_mults", (1, 2, 4))),
                    channels=C, dtype=jnp.bfloat16 if ns.bf16 else jnp.float32)
@@ -782,13 +791,16 @@ def cmd_eval_smoke(args):
         jax.device_get(state),
     )
 
+    start = getattr(args, "start", 0) or 0
     z = np.load(os.path.join(args.data, f"{args.split}.npz"))
     s_ratio = z["Smoke"][:, :, 1] / z["Smoke"].sum(-1)
     test_state = np.stack(
         [z["Density"], z["Velocity"][..., 0], z["Velocity"][..., 1],
          z["Control"][..., 0], z["Control"][..., 1],
          np.broadcast_to(s_ratio[:, :, None, None], z["Density"].shape)], axis=2,
-    )[: args.ntest]
+    )[start : start + args.ntest]
+    if test_state.shape[0] == 0:
+        raise SystemExit(f"--start {start} is past the test set")
     ecfg = SmokeEvalConfig(
         rescaler=rescaler, wave_type=ns.wave_type, pad_mode=ns.pad_mode,
         is_condition_control=ns.condition_control, is_wavelet=is_wavelet,
@@ -830,14 +842,14 @@ def cmd_eval_smoke(args):
     keys = ("J_total", "J_target", "J_energy", "mse", "mse_wo_smoke", "n_l2")
     for i in range(0, test_state.shape[0], args.batch_eval):
         chunk = jnp.asarray(test_state[i : i + args.batch_eval])
-        rng = jax.random.PRNGKey(i)
+        rng = jax.random.PRNGKey(start + i)
         if is_sim:
             r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
                                test_state=chunk[:, :n_frames], channels=C,
                                mesh=eval_mesh)
             if gd_super is not None:
                 outs = smoke_super_res_chain(
-                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + i),
+                    gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + start + i),
                     ecfg_super, jnp.asarray(r["coef"]),
                     test_state_hi=chunk[:, :32], n_levels=args.upsample,
                     channels=C_super, base_pred=jnp.asarray(r["pred"]),
@@ -853,6 +865,8 @@ def cmd_eval_smoke(args):
             r = eval_smoke_control(
                 gd, state.ema_params, rng, ecfg, scene, test_state=big,
                 channels=C, standard_fixed_ratio=args.standard_fixed_ratio,
+                design_guidance=getattr(args, "design_guidance", "standard"),
+                coeff_ratio=getattr(args, "coeff_ratio", 0.0),
                 w_init=args.w_init, w_energy=args.w_energy, mesh=eval_mesh,
             )
         for k in keys:
@@ -860,9 +874,17 @@ def cmd_eval_smoke(args):
                 results.setdefault(k, []).append(r[k])
         print(f"batch {i}: " + ", ".join(
             f"{k}={np.concatenate(v).mean():.5f}" for k, v in results.items()), flush=True)
+    # raw per-chunk values (same contract as eval-burgers): chunked runs
+    # (--start) combine exactly afterwards via aggregate-eval
+    task_tag = args.task + ("_sr" if args.super_exp else "")
+    np.savez(
+        os.path.join(outdir, f"eval_raw_{task_tag}_{start}.npz"),
+        **{k: np.concatenate(v) for k, v in results.items()},
+    )
     save_path = os.path.join(outdir, "eval_results.json")
+    key = task_tag if start == 0 else f"{task_tag}_start{start}"
     for k, v in results.items():
-        save_acc(np.concatenate(v), save_path, args.task, k)
+        save_acc(np.concatenate(v), save_path, key, k)
     print("saved", save_path)
 
 
@@ -1104,6 +1126,11 @@ def _build_parser():
     p.add_argument("--condition_u0", type=lambda s: s == "True", default=True)
     p.add_argument("--condition_uT", type=lambda s: s == "True", default=False)
     p.add_argument("--condition_f", type=lambda s: s == "True", default=True)
+    p.add_argument("--condition_pad", type=lambda s: s == "True", default=True,
+                   help="hold padded locations at zero during diffusion "
+                        "(reference --is_condition_pad)")
+    p.add_argument("--resnet_block_groups", type=int, default=1,
+                   help="GroupNorm group count in UNet ResNet blocks")
     p.add_argument("--super_model", type=lambda s: s == "True", default=False)
     p.add_argument("--n_downsample", type=int, default=3)
     p.add_argument("--grad_accum", type=int, default=1)
@@ -1207,6 +1234,10 @@ def _build_parser():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--condition_control", type=lambda s: s == "True", default=False)
+    p.add_argument("--condition_pad", type=lambda s: s == "True", default=True,
+                   help="hold padded locations at zero during diffusion "
+                        "(reference --is_condition_pad)")
+    p.add_argument("--grad_accum", type=int, default=1)
     p.add_argument("--super_model", type=lambda s: s == "True", default=False)
     p.add_argument("--n_downsample", type=int, default=2)
     p.add_argument("--max_train_samples", type=int, default=None,
@@ -1252,6 +1283,16 @@ def _build_parser():
     p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--ddim_eta", type=float, default=1.0)
     p.add_argument("--standard_fixed_ratio", type=float, default=100.0)
+    p.add_argument("--design_guidance", type=str, default="standard",
+                   choices=["standard", "standard-alpha"],
+                   help="guidance scaling: fixed ratio, or coeff_ratio * "
+                        "flip(betas)[t] (reference diffusion_2d.py:736-744)")
+    p.add_argument("--coeff_ratio", type=float, default=0.0,
+                   help="scale for --design_guidance standard-alpha")
+    p.add_argument("--start", type=int, default=0,
+                   help="offset into the test set: evaluate samples "
+                        "[start, start+ntest) so a long eval can run (and "
+                        "recover) in chunks; raw per-chunk values are saved")
     p.add_argument("--w_init", type=float, default=0.1)
     p.add_argument("--w_energy", type=float, default=0.0)
     p.add_argument("--super_exp", type=str, default=None,

@@ -219,6 +219,8 @@ def eval_smoke_control(
     w_energy: float = 0.0,
     w_init: float = 0.1,
     standard_fixed_ratio: float = 100.0,
+    design_guidance: str = "standard",
+    coeff_ratio: float = 0.0,
     chunk: int = 10,
     return_solver_out: bool = False,
     mesh=None,
@@ -226,16 +228,29 @@ def eval_smoke_control(
     """Guided control: sample a control plan, zero its direct interior
     (indirect control, reference ``:337``), re-simulate on-device, score.
 
+    ``design_guidance``: 'standard' scales the gradient by a fixed
+    ``standard_fixed_ratio``; 'standard-alpha' by ``coeff_ratio *
+    flip(betas)[t]`` (reference ``diffusion_2d.py:736-744``).
+
     ``return_solver_out``: include the full re-simulated rollout
     ([B, 256, 6, 128, 128], ~100 MB/sample f32) in the result — off by
     default; the metrics path only needs the subsampled comparison."""
     B = test_state.shape[0]
     base = test_state[:, ::8]  # 32 recorded frames at 64^2
     d0 = base[:, 0, 0]
-    guid = make_smoke_guidance(
-        cfg, init_u=d0, w_energy=w_energy, w_init=w_init,
-        standard_fixed_ratio=standard_fixed_ratio,
-    )
+    if design_guidance == "standard":
+        guid = make_smoke_guidance(
+            cfg, init_u=d0, w_energy=w_energy, w_init=w_init,
+            standard_fixed_ratio=standard_fixed_ratio,
+        )
+    elif design_guidance == "standard-alpha":
+        guid = make_smoke_guidance(
+            cfg, init_u=d0, w_energy=w_energy, w_init=w_init,
+            standard_fixed_ratio=coeff_ratio,
+            coeff_schedule=np.asarray(gd.sched.betas)[::-1].copy(),
+        )
+    else:
+        raise ValueError(f"unknown design_guidance {design_guidance!r}")
     if cfg.is_wavelet:
         cond = make_smoke_cond_state(cfg, channels, d0=d0)
     else:
