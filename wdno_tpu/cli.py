@@ -1027,6 +1027,37 @@ def cmd_convert_torch(args):
     print(f"converted {args.ckpt} ({args.arch}, {n / 1e6:.1f}M params) -> {path}")
 
 
+def cmd_render(args):
+    """Render a trajectory from a dataset blob: Burgers space-time heatmap
+    (PNG) or smoke density rollout (GIF + frame strip), obstacles overlaid —
+    replaces the reference's ad-hoc gif/plot helpers
+    (``evaluate_solver.py:228-367``)."""
+    from .utils.viz import render_burgers_heatmap, render_smoke_frames, render_smoke_gif
+
+    z = np.load(args.data)
+    i = args.index
+    if "Density" in z.files:  # smoke blob
+        from .solvers.smoke.scene import make_scene
+
+        d = z["Density"][i]
+        mask = 1.0 - make_scene().fluid_mask[0, :, :, 0]
+        if mask.shape[0] != d.shape[-1]:  # 127^2 scene vs 64^2 recording
+            step = (mask.shape[0] + 1) // d.shape[-1]
+            mask = mask[::step, ::step][: d.shape[-2], : d.shape[-1]]
+        out = args.out or f"smoke_{i}.gif"
+        print(render_smoke_gif(d, out, obstacles=mask))
+        print(render_smoke_frames(d, os.path.splitext(out)[0] + "_frames.png",
+                                  obstacles=mask))
+    elif "u" in z.files:  # burgers blob
+        out = args.out or f"burgers_{i}.png"
+        print(render_burgers_heatmap(z["u"][i], out,
+                                     f=z["f"][i] if "f" in z.files else None,
+                                     title=f"#{i}"))
+    else:
+        raise SystemExit(f"{args.data}: neither a smoke nor a burgers blob "
+                         f"(keys: {z.files})")
+
+
 def cmd_doctor(args):
     """Environment diagnosis: backend, devices, HBM, native components,
     compile cache — the first thing to run on a new host."""
@@ -1300,6 +1331,13 @@ def _build_parser():
     p.add_argument("--super_checkpoint", type=str, default="final")
     p.add_argument("--upsample", type=int, default=1, help="SR doublings")
     p.set_defaults(fn=cmd_eval_smoke)
+
+    p = _add_common(sub.add_parser("render"))
+    p.add_argument("--data", type=str, required=True,
+                   help="dataset npz (burgers u/f or smoke Density blob)")
+    p.add_argument("--index", type=int, default=0)
+    p.add_argument("--out", type=str, default=None)
+    p.set_defaults(fn=cmd_render)
 
     p = _add_common(sub.add_parser("aggregate-eval"))
     p.add_argument("--exp", type=str, required=True)
