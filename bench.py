@@ -73,8 +73,72 @@ def _wait_for_device(max_wait_s=None, poll_s=60):
         time.sleep(poll_s)
 
 
+_CAMPAIGN_PIDFILES = (
+    "/tmp/eval_chunks.pid", "/tmp/eval_cpu.pid", "/tmp/eval_cpu_desc.pid",
+    "/tmp/stage2b.pid", "/tmp/stage3b.pid", "/tmp/stage_h_runner.pid",
+)
+
+
+class _PauseCampaign:
+    """SIGSTOP the long-running campaign process groups for the duration of
+    the measurement (SIGCONT on exit, even on crash).
+
+    The campaign stages (training/eval loops launched via setsid, pids
+    recorded in /tmp/*.pid) share the single TPU chip; an unpaused training
+    loop interleaves its steps with the bench's and roughly doubles the
+    measured step time.  Suspension uses only recorded pid files — no
+    process-name matching — and an in-flight device program simply finishes
+    before the pause takes effect.
+    """
+
+    def __init__(self):
+        import glob
+
+        files = os.environ.get("WDNO_BENCH_PAUSE_PIDFILES")
+        self.pidfiles = glob.glob(files) if files else list(_CAMPAIGN_PIDFILES)
+        self.pgids = []
+
+    def __enter__(self):
+        import signal
+
+        own = os.getpgrp()
+        for f in self.pidfiles:
+            try:
+                pid = int(open(f).read().strip())
+                pgid = os.getpgid(pid)
+            except (OSError, ValueError, ProcessLookupError):
+                continue
+            if pgid in (own, 0) or pgid in self.pgids:
+                continue
+            try:
+                os.killpg(pgid, signal.SIGSTOP)
+                self.pgids.append(pgid)
+            except (ProcessLookupError, PermissionError):
+                pass
+        if self.pgids:
+            print(f"bench: paused campaign groups {self.pgids}", file=sys.stderr)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+
+        for pgid in self.pgids:
+            try:
+                os.killpg(pgid, signal.SIGCONT)
+            except (ProcessLookupError, PermissionError):
+                pass
+        if self.pgids:
+            print(f"bench: resumed campaign groups {self.pgids}", file=sys.stderr)
+        return False
+
+
 def main():
     _wait_for_device()
+    with _PauseCampaign():
+        _measure()
+
+
+def _measure():
     from wdno_tpu.core.conditioning import smoke_spec
     from wdno_tpu.core.diffusion import GaussianDiffusion
     from wdno_tpu.core.schedules import make_schedule
