@@ -40,6 +40,11 @@ sys.exit(0 if own >= chunk or blk >= (s - block) + chunk else 1)
 EOF
 }
 
+tpu_will_cover() {  # tunnel up AND the chip eval loop still alive?
+  kill -0 "$(cat /tmp/eval_chunks.pid 2>/dev/null)" 2>/dev/null \
+    && timeout 90 python -c "import jax; jax.devices()[0]" 2>/dev/null
+}
+
 for ((s = TOP; s >= 0; s -= CHUNK)); do
   if covered "$s"; then
     echo "[cpu-desc chunk $s] already covered, skipping"
@@ -47,6 +52,15 @@ for ((s = TOP; s >= 0; s -= CHUNK)); do
   fi
   block=$((s / 1000 * 1000))
   if [ "$block" -ne "$s" ] && [ ! -e "$OUT/eval_raw_sim_${block}.npz" ]; then
+    # About to claim a NEW block.  A reserved block is invisible to the TPU
+    # loop's existence check, so the CPU is committed to its ~8h sweep — if
+    # the tunnel is back and the chip eval is alive, stop here instead and
+    # let the chip (50x faster) cover everything below.  Blocks already
+    # reserved stay ours: the chip loop has possibly passed them by now.
+    if tpu_will_cover; then
+      echo "[cpu-desc] TPU is back; leaving remaining blocks to the chip $(date -u +%H:%M:%S)"
+      break
+    fi
     python -c "
 import numpy as np
 np.savez('$OUT/eval_raw_sim_${block}.npz')"  # reserve the block from the TPU loop
