@@ -197,17 +197,25 @@ def _measure():
     dt = (time.time() - t0) / iters
 
     steps_per_sec = 1.0 / dt
+    # chip peak for the honest MFU number: TPU v5e (v5 lite) = 197 TFLOP/s
+    # bf16; override for other chips via env.
+    chip_peak = float(os.environ.get("WDNO_CHIP_PEAK_TFLOPS", 197)) * 1e12
     if fwd_flops > 0:
-        a100_step = 3.0 * fwd_flops / (312e12 * 0.35)
+        train_flops = 3.0 * fwd_flops  # fwd + bwd (2x fwd)
+        a100_step = train_flops / (312e12 * 0.35)
         vs_baseline = a100_step / dt
+        tflops = train_flops / dt / 1e12
+        mfu = train_flops / dt / chip_peak
     else:
-        vs_baseline = 0.0
+        vs_baseline = tflops = mfu = 0.0
 
     rec = {
         "metric": "smoke_base_train_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 4),
         "unit": "steps/s",
         "vs_baseline": round(vs_baseline, 4),
+        "tflops": round(tflops, 2),
+        "mfu": round(mfu, 4),
     }
     try:
         os.makedirs(os.path.dirname(_CACHE), exist_ok=True)

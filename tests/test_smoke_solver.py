@@ -212,3 +212,28 @@ def test_advect_mac_translates_bump():
     out = np.asarray(advect_mac(vel, field, dt=2.0))
     assert out[0, 16, 12, 0] > 0.9  # bump moved 2 cells in +x
     assert out[0, 16, 10, 0] < 0.1
+
+
+def test_cg_pallas_wiring_matches_xla(monkeypatch):
+    """conjugate_gradient with the Pallas stencil apply (WDNO_PALLAS_CG=1,
+    interpret mode on CPU) solves to the same pressure as the XLA path —
+    validates the production wiring, not just the kernel in isolation."""
+    from wdno_tpu.solvers.smoke import pressure as P
+
+    rng = np.random.default_rng(7)
+    B, H, W = 2, 24, 24
+    active = np.ones((B, H + 2, W + 2, 1), np.float32)
+    active[:, 9:13, 9:13] = 0.0  # an obstacle
+    fluid = active.copy()
+    st = P.build_stencil(jnp.asarray(active), jnp.asarray(fluid))
+    div = jnp.asarray(rng.standard_normal((B, H, W)).astype(np.float32))
+    div = div * np.asarray(active[:, 1:-1, 1:-1, 0])
+
+    monkeypatch.setenv("WDNO_PALLAS_CG", "0")
+    x_xla, it_xla = jax.jit(P.conjugate_gradient, static_argnums=(2, 3))(div, st, 1e-6, 500)
+    monkeypatch.setenv("WDNO_PALLAS_CG", "1")
+    x_pl, it_pl = jax.jit(P.conjugate_gradient, static_argnums=(2, 3))(div, st, 1e-6, 500)
+
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_xla), rtol=2e-4, atol=2e-5)
+    resid = np.asarray(P.apply_laplace(st, x_pl)) - np.asarray(div)
+    assert np.max(np.abs(resid)) < 5e-5

@@ -53,8 +53,10 @@ def proj_ep_orthogonal(ep: Array, nabla_J: Array) -> Array:
     different inner products.  Kept as-is so guided results are comparable;
     a mathematically clean per-sample projection would use matching axes.
     """
+    assert ep.ndim >= 3, f"expected [B, *spatial, C] state, got ndim={ep.ndim}"
+    spatial_axes = tuple(range(1, ep.ndim - 1))  # all but batch and channel
     inner = jnp.sum(nabla_J * ep)
-    norm = jnp.sqrt(jnp.sum(ep**2, axis=(-3, -2), keepdims=True))
+    norm = jnp.sqrt(jnp.sum(ep**2, axis=spatial_axes, keepdims=True))
     return ep + nabla_J - inner * ep / norm
 
 

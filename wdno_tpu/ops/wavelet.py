@@ -43,6 +43,8 @@ __all__ = [
     "coef_len",
     "dwt1d",
     "idwt1d",
+    "dwt1d_conv",
+    "idwt1d_conv",
     "dwt2d",
     "idwt2d",
     "dwt3d",
@@ -353,10 +355,16 @@ def _move_axis_last(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(x, axis, -1)
 
 
-def dwt1d(
+def dwt1d_conv(
     x: jnp.ndarray, wave: str | Wavelet, mode: str = "zero", axis: int = -1
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Single-level 1D DWT along ``axis``. Returns (approx, detail)."""
+    """Single-level 1D DWT along ``axis`` via strided filter-bank convs.
+
+    This is the semantics-defining implementation (oracle-tested against
+    direct summation); :mod:`.wavelet_fast` derives its banded matrices by
+    probing it with an identity batch, and the public :func:`dwt1d`
+    dispatches between the two.
+    """
     w = wave if isinstance(wave, Wavelet) else get_wavelet(wave)
     axis = axis % x.ndim
     if axis != x.ndim - 1:
@@ -368,7 +376,7 @@ def dwt1d(
     return a, d
 
 
-def idwt1d(
+def idwt1d_conv(
     a: jnp.ndarray,
     d: jnp.ndarray,
     wave: str | Wavelet,
@@ -384,6 +392,56 @@ def idwt1d(
     if axis != y.ndim - 1:
         y = jnp.moveaxis(y, -1, axis)
     return y
+
+
+# Matrix-form dispatch: on small static axes (every hot shape in both
+# workloads: 24..120) the banded [2L, n] matrix product of
+# :mod:`.wavelet_fast` runs on the MXU and fuses with neighbouring work,
+# where the conv lowering measured ~2.5 GB/s on v5e.  Long axes (the
+# SR-chain's 1000+-sample rows) stay on the conv path whose FLOPs scale
+# O(n * filter_len) instead of O(n^2).  Override with
+# ``WDNO_WAVELET_IMPL=conv|matrix``.
+_MATRIX_MAX_N = 512
+
+
+def _use_matrix(n: int) -> bool:
+    import os
+
+    pol = os.environ.get("WDNO_WAVELET_IMPL", "auto")
+    if pol == "conv":
+        return False
+    if pol == "matrix":
+        return True
+    return n <= _MATRIX_MAX_N
+
+
+def dwt1d(
+    x: jnp.ndarray, wave: str | Wavelet, mode: str = "zero", axis: int = -1
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-level 1D DWT along ``axis``. Returns (approx, detail)."""
+    _check_mode(mode)
+    if _use_matrix(x.shape[axis]):
+        from . import wavelet_fast as _WF
+
+        w = wave if isinstance(wave, Wavelet) else get_wavelet(wave)
+        return _WF.dwt1d(x, w.name, mode, axis=axis)
+    return dwt1d_conv(x, wave, mode, axis)
+
+
+def idwt1d(
+    a: jnp.ndarray,
+    d: jnp.ndarray,
+    wave: str | Wavelet,
+    mode: str = "zero",
+    axis: int = -1,
+) -> jnp.ndarray:
+    _check_mode(mode)
+    if _use_matrix(a.shape[axis]):
+        from . import wavelet_fast as _WF
+
+        w = wave if isinstance(wave, Wavelet) else get_wavelet(wave)
+        return _WF.idwt1d(a, d, w.name, mode, axis=axis)
+    return idwt1d_conv(a, d, wave, mode, axis)
 
 
 # ---------------------------------------------------------------------------

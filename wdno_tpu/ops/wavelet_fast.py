@@ -51,7 +51,7 @@ def analysis_matrix(wave: str, n: int, mode: str) -> Tuple[np.ndarray, np.ndarra
     # implementation must evaluate concretely.
     with jax.ensure_compile_time_eval():
         eye = jnp.eye(n, dtype=jnp.float32)
-        a, d = Wref.dwt1d(eye, wave, mode, axis=-1)
+        a, d = Wref.dwt1d_conv(eye, wave, mode, axis=-1)
         a, d = np.asarray(a), np.asarray(d)
     return a.T.copy(), d.T.copy()  # [L, n]
 
@@ -62,8 +62,8 @@ def synthesis_matrix(wave: str, L: int, mode: str) -> Tuple[np.ndarray, np.ndarr
     with jax.ensure_compile_time_eval():
         eye = jnp.eye(L, dtype=jnp.float32)
         zero = jnp.zeros((L, L), jnp.float32)
-        xa = np.asarray(Wref.idwt1d(eye, zero, wave, mode, axis=-1))
-        xd = np.asarray(Wref.idwt1d(zero, eye, wave, mode, axis=-1))
+        xa = np.asarray(Wref.idwt1d_conv(eye, zero, wave, mode, axis=-1))
+        xd = np.asarray(Wref.idwt1d_conv(zero, eye, wave, mode, axis=-1))
     return xa.T.copy(), xd.T.copy()
 
 

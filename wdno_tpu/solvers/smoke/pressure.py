@@ -68,6 +68,22 @@ def apply_laplace(st: LaplaceStencil, p: Array) -> Array:
     return out
 
 
+def _laplace_impl():
+    """The stencil apply used by the CG loop: the fused Pallas kernel on TPU
+    (one VMEM pass per batch element, the TPU equivalent of the reference
+    CUDA ``calcZ_v4`` SpMV), XLA shifts+multiplies elsewhere.
+    ``WDNO_PALLAS_CG=0`` forces XLA; ``=1`` forces the Pallas kernel even
+    off-TPU (interpret mode — used by the wiring tests)."""
+    import os
+
+    pol = os.environ.get("WDNO_PALLAS_CG", "auto")
+    if pol == "1" or (pol != "0" and jax.default_backend() == "tpu"):
+        from .pressure_pallas import apply_laplace_fused
+
+        return apply_laplace_fused
+    return apply_laplace
+
+
 def conjugate_gradient(
     k: Array,
     st: LaplaceStencil,
@@ -80,10 +96,11 @@ def conjugate_gradient(
     with the shared denominator); terminates when max|residual| < accuracy
     across the whole batch or at ``max_iterations``.
     """
+    apply_laplace_ = _laplace_impl()
     x0 = jnp.zeros_like(k)
     momentum = k
     residual = k
-    lap_mom = apply_laplace(st, momentum)
+    lap_mom = apply_laplace_(st, momentum)
 
     def cond(state):
         _, _, _, residual, i = state
@@ -99,7 +116,7 @@ def conjugate_gradient(
         residual = residual - a * lap_mom
         b = -jnp.sum(residual * lap_mom) / tmp
         momentum = residual + b * momentum
-        lap_mom = apply_laplace(st, momentum)
+        lap_mom = apply_laplace_(st, momentum)
         return (x, momentum, lap_mom, residual, i + 1)
 
     x, _, _, residual, iters = jax.lax.while_loop(
