@@ -43,7 +43,9 @@ class TimeMLP(nn.Module):
     def __call__(self, t: Array) -> Array:
         x = sinusoidal_pos_emb(t, self.dim, self.theta)
         x = nn.Dense(self.time_dim, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # exact (erf) gelu: torch nn.GELU() default; jax defaults to the tanh
+        # approximation, which costs ~6e-5 absolute vs the reference
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.time_dim, dtype=self.dtype)(x)
 
 
@@ -56,7 +58,9 @@ class ChannelLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         g = self.param("g", nn.initializers.ones, (x.shape[-1],))
-        xf = x.astype(jnp.float32)
+        # stats at f32 minimum (bf16-safe), but keep f64 inputs at f64 so
+        # double-precision parity probes aren't noise-floored by the norm
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = xf.mean(axis=-1, keepdims=True)
         var = xf.var(axis=-1, keepdims=True)
         out = (xf - mean) * jax.lax.rsqrt(var + self.eps) * g
