@@ -297,3 +297,45 @@ def test_cli_datagen_smoke_parts_merge(tmp_path, monkeypatch):
         for k in whole:
             assert z[k].shape == whole[k].shape
             np.testing.assert_allclose(whole[k], z[k], atol=0.15)
+
+
+def test_cli_export_import_ckpt_roundtrip(tmp_path):
+    """export-ckpt -> import-ckpt reproduces params/EMA/step closely enough
+    to evaluate (f16 quantization bounds the error), giving trained models a
+    git-committable form that survives the disposable results/ directory."""
+    import orbax.checkpoint as ocp
+
+    data, results = str(tmp_path / "d"), str(tmp_path / "r")
+    main(["datagen-burgers", "--n_train", "16", "--n_test", "4",
+          "--super_factor", "2", "--batch", "16", "--out", data])
+    main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+    main(["train-burgers", "--data", data, "--results", results,
+          "--exp", "src", "--dim", "8", "--dim_mults", "1", "2",
+          "--batch", "8", "--steps", "4", "--timesteps", "10",
+          "--bf16", "False", "--log_every", "2", "--ckpt_every", "2"])
+
+    npz = str(tmp_path / "src.npz")
+    main(["export-ckpt", "--results", results, "--exp", "src", "--out", npz])
+    main(["import-ckpt", "--results", results, "--exp", "dst", "--npz", npz])
+
+    ck = ocp.StandardCheckpointer()
+    src = ck.restore(os.path.join(os.path.abspath(results), "src", "model-2"))
+    dst = ck.restore(os.path.join(os.path.abspath(results), "dst", "model-4"))
+    assert int(src["step"]) == int(dst["step"]) == 4
+    assert json.load(open(os.path.join(results, "dst", "config.json")))["dim"] == 8
+
+    import jax
+
+    def flat(tree):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp): v
+            for kp, v in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    for name in ("params", "ema_params"):
+        fs, fd = flat(src[name]), flat(dst[name])
+        assert fs.keys() == fd.keys()
+        for k in fs:
+            np.testing.assert_allclose(
+                np.asarray(fs[k], np.float32), np.asarray(fd[k], np.float32),
+                rtol=2e-3, atol=2e-3, err_msg=f"{name}:{k}")

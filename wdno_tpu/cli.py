@@ -1027,6 +1027,111 @@ def cmd_convert_torch(args):
     print(f"converted {args.ckpt} ({args.arch}, {n / 1e6:.1f}M params) -> {path}")
 
 
+
+def cmd_export_ckpt(args):
+    """Export a trained experiment to one committable .npz: params + EMA
+    (float16 by default -- ~4x smaller than the orbax TrainState, which also
+    carries Adam moments) + step + the experiment config.json.  Persistence
+    across workspace wipes: results/ and data/ are disposable, the npz lives
+    in git (see import-ckpt)."""
+    import re
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    outdir = os.path.join(args.results, args.exp)
+    if args.milestone == "latest":
+        cands = [
+            int(m.group(1))
+            for n in os.listdir(outdir)
+            if (m := re.fullmatch(r"model-(\d+)", n))
+        ]
+        if not cands:
+            raise SystemExit(f"no numeric model-* checkpoints in {outdir}")
+        milestone = str(max(cands))
+    else:
+        milestone = args.milestone
+    path = os.path.abspath(os.path.join(outdir, f"model-{milestone}"))
+    tree = ocp.StandardCheckpointer().restore(path)
+
+    flat = {}
+
+    def put(prefix, sub):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]:
+            key = prefix + "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            flat[key] = np.asarray(leaf)
+
+    dt = np.dtype(args.dtype)
+    put("params:", jax.tree_util.tree_map(
+        lambda x: np.asarray(x, dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+        tree["params"]))
+    put("ema:", jax.tree_util.tree_map(
+        lambda x: np.asarray(x, dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+        tree["ema_params"]))
+    if args.include_opt:
+        put("opt:", tree["opt_state"])
+    flat["step"] = np.asarray(tree["step"])
+    cfg_path = os.path.join(outdir, "config.json")
+    if os.path.exists(cfg_path):
+        flat["config_json"] = np.frombuffer(
+            open(cfg_path, "rb").read(), dtype=np.uint8
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
+    np.savez_compressed(args.out, **flat)
+    sz = os.path.getsize(args.out) / 1e6
+    print(f"exported {path} (step {int(flat['step'])}) -> {args.out} ({sz:.0f} MB, {args.dtype})")
+
+
+def _unflatten(flat, prefix):
+    tree = {}
+    for key, val in flat.items():
+        if not key.startswith(prefix):
+            continue
+        parts = key[len(prefix):].split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(val, np.float32) if val.dtype == np.float16 else val
+    return tree
+
+
+def cmd_import_ckpt(args):
+    """Recreate an evaluable/resumable experiment from an export-ckpt npz:
+    writes results/<exp>/config.json and an orbax ``model-<milestone>``
+    TrainState (fresh Adam moments unless the npz carries opt state --
+    resumed training re-warms them over a few hundred steps)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    from .train.state import TrainConfig, create_train_state
+
+    flat = dict(np.load(args.npz, allow_pickle=False))
+    params = _unflatten(flat, "params:")
+    ema = _unflatten(flat, "ema:")
+    step = int(flat["step"])
+
+    outdir = os.path.join(args.results, args.exp)
+    os.makedirs(outdir, exist_ok=True)
+    if "config_json" in flat:
+        open(os.path.join(outdir, "config.json"), "wb").write(
+            flat["config_json"].tobytes()
+        )
+        lr = json.loads(flat["config_json"].tobytes()).get("lr", 1e-4)
+    else:
+        lr = 1e-4
+    state = create_train_state(params, TrainConfig(learning_rate=lr))
+    state = state.replace(
+        step=np.asarray(step, np.int32),
+        ema_params=jax.tree_util.tree_map(np.asarray, ema),
+    )
+    milestone = args.milestone if args.milestone else str(step)
+    path = os.path.abspath(os.path.join(outdir, f"model-{milestone}"))
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path, jax.device_get(state), force=True)
+    ckpt.wait_until_finished()
+    print(f"imported {args.npz} (step {step}) -> {path}")
+
+
 def cmd_render(args):
     """Render a trajectory from a dataset blob: Burgers space-time heatmap
     (PNG) or smoke density rollout (GIF + frame strip), obstacles overlaid —
@@ -1357,6 +1462,21 @@ def _build_parser():
                         "parser, after a literal '--' separator (e.g. "
                         "-- --dim 128 --dim_mults 1 2 4 8 --condition_f True)")
     p.set_defaults(fn=cmd_convert_torch)
+
+    p = _add_common(sub.add_parser("export-ckpt"))
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--milestone", type=str, default="latest")
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--dtype", type=str, default="float16", choices=["float16", "float32"])
+    p.add_argument("--include_opt", action="store_true")
+    p.set_defaults(fn=cmd_export_ckpt)
+
+    p = _add_common(sub.add_parser("import-ckpt"))
+    p.add_argument("--exp", type=str, required=True)
+    p.add_argument("--npz", type=str, required=True)
+    p.add_argument("--milestone", type=str, default="",
+                   help="checkpoint dir suffix; default: the stored step number")
+    p.set_defaults(fn=cmd_import_ckpt)
 
     p = sub.add_parser("doctor")
     p.set_defaults(fn=cmd_doctor)

@@ -259,7 +259,10 @@ class Trainer:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 self._tracing = False
-            step = int(self.state.step)
+            # host-side step counter: int(self.state.step) would be a
+            # blocking device->host readback EVERY step, serializing the
+            # dispatch pipeline (expensive over the tunneled chip link)
+            step = done + i + 1
             if step % self.log_every == 0 or i == remaining - 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 # windowed rate (since the previous log line): a cumulative
