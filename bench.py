@@ -74,6 +74,7 @@ def _wait_for_device(max_wait_s=None, poll_s=60):
 
 
 _CAMPAIGN_PIDFILES = (
+    "/tmp/campaign_*.pid",  # glob: every campaign stage records one of these
     "/tmp/eval_chunks.pid", "/tmp/eval_cpu.pid", "/tmp/eval_cpu_desc.pid",
     "/tmp/stage2b.pid", "/tmp/stage3b.pid", "/tmp/stage_h_runner.pid",
 )
@@ -95,7 +96,8 @@ class _PauseCampaign:
         import glob
 
         files = os.environ.get("WDNO_BENCH_PAUSE_PIDFILES")
-        self.pidfiles = glob.glob(files) if files else list(_CAMPAIGN_PIDFILES)
+        pats = [files] if files else list(_CAMPAIGN_PIDFILES)
+        self.pidfiles = sorted({p for pat in pats for p in glob.glob(pat)})
         self.pgids = []
 
     def __enter__(self):
