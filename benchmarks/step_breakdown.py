@@ -13,7 +13,11 @@ use scripts/campaign_status.sh or SIGSTOP the pgid by hand).
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

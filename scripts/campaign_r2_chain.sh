@@ -17,6 +17,9 @@
 # so if metrics.jsonl stops advancing the run is killed and resumed from the
 # last milestone.
 cd "$(dirname "$0")/.."
+# record OUR pid (not the setsid wrapper's, which $! captures): kill/pause
+# tooling (bench.py _PauseCampaign) resolves the process group from this
+echo $$ > /tmp/campaign_r2.pid
 STEPS_BASE=${STEPS_BASE:-100000}
 STEPS_SUPER=${STEPS_SUPER:-250000}
 STEPS_CTRL=${STEPS_CTRL:-100000}
@@ -47,6 +50,15 @@ watched_attempt() {
   mfile="results/$exp/metrics.jsonl"
   while kill -0 "$tpid" 2>/dev/null; do
     sleep 120
+    n_checks=$(( ${n_checks:-0} + 1 ))
+    # periodic niced export (~every 30 min): a round boundary or crash can
+    # then never lose more than 30 min of training (results/ is disposable,
+    # artifacts/ is committed).  nice -19: a CPU-hungry export must never
+    # starve the trainer's dispatch thread (observed axon-client deadlock).
+    if [ $(( n_checks % 15 )) -eq 0 ] && [ -d "results/$exp" ]; then
+      nice -n 19 python -m wdno_tpu.cli export-ckpt --exp "$exp" \
+          --out "artifacts/$exp.npz" >/dev/null 2>&1 || true
+    fi
     now=$(date +%s)
     # a metrics file older than THIS attempt is stale (left by a previous
     # run) — judge startup by process age, not by the stale file's mtime

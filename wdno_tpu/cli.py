@@ -342,6 +342,31 @@ def math_ceil(n: int, d: int) -> int:
     return -(-n // d)
 
 
+def _resolve_checkpoint(outdir: str, name: str) -> str:
+    """Map --checkpoint to an orbax dir; "latest" prefers model-final (a
+    completed run) and otherwise the highest-numbered milestone, so partial
+    reference-budget runs are evaluable mid-campaign."""
+    import re
+
+    if name == "latest":
+        if os.path.isdir(os.path.join(outdir, "model-final")):
+            name = "final"
+        else:
+            nums = [
+                int(m.group(1))
+                for n in os.listdir(outdir)
+                if (m := re.fullmatch(r"model-(\d+)", n))
+            ]
+            if not nums:
+                raise SystemExit(f"no model-* checkpoints in {outdir}")
+            name = str(max(nums))
+    path = os.path.abspath(os.path.join(outdir, f"model-{name}"))
+    if not os.path.isdir(path):
+        have = sorted(n for n in os.listdir(outdir) if n.startswith("model-"))
+        raise SystemExit(f"no checkpoint {path}; available: {have}")
+    return path
+
+
 def cmd_eval_burgers(args):
     import jax
     import jax.numpy as jnp
@@ -398,10 +423,7 @@ def cmd_eval_burgers(args):
         ns, [st0.shape[1:]], [coef_shape], rescaler
     )
     ckpt = ocp.StandardCheckpointer()
-    ckpt_path = os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}"))
-    if not os.path.isdir(ckpt_path):
-        have = sorted(n for n in os.listdir(outdir) if n.startswith("model-"))
-        raise SystemExit(f"no checkpoint {ckpt_path}; available: {have}")
+    ckpt_path = _resolve_checkpoint(outdir, args.checkpoint)
     state = ckpt.restore(ckpt_path, jax.device_get(state))
     gd = gds[0]
     gd.sampling_timesteps = args.ddim_steps
@@ -782,10 +804,7 @@ def cmd_eval_smoke(args):
     tcfg = TrainConfig()
     state = create_train_state(params, tcfg)
     ckpt = ocp.StandardCheckpointer()
-    ckpt_path = os.path.abspath(os.path.join(outdir, f"model-{args.checkpoint}"))
-    if not os.path.isdir(ckpt_path):
-        have = sorted(n for n in os.listdir(outdir) if n.startswith("model-"))
-        raise SystemExit(f"no checkpoint {ckpt_path}; available: {have}")
+    ckpt_path = _resolve_checkpoint(outdir, args.checkpoint)
     state = ckpt.restore(
         ckpt_path,
         jax.device_get(state),

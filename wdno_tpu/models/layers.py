@@ -107,7 +107,11 @@ class TemporalDecompConv3d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        env = _os.environ.get("WDNO_DECOMP_CONV3D", "")
+        # Default "large-k": decompose only the 7^3 init conv, measured
+        # fastest end-to-end on TPU v5e (bench.py A/B, r2: native 6.50,
+        # large-k 6.77, full decomp 6.18 steps/s — the 3^3 resblock convs
+        # lose more in the shift-add backward than they gain forward).
+        env = _os.environ.get("WDNO_DECOMP_CONV3D", "large-k")
         use_decomp = env == "1" or (env == "large-k" and kd >= 7)
         if not use_decomp:
             # native XLA conv3d lowering (same params)
