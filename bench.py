@@ -103,6 +103,11 @@ class _PauseCampaign:
     def __enter__(self):
         import signal
 
+        # a `timeout`-delivered SIGTERM must unwind this context manager —
+        # the default handler exits WITHOUT running __exit__, which would
+        # leave the campaign process groups SIGSTOPped forever
+        signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(SystemExit(143)))
+
         own = os.getpgrp()
         for f in self.pidfiles:
             try:
@@ -136,8 +141,7 @@ class _PauseCampaign:
 
 def main():
     _wait_for_device()
-    with _PauseCampaign():
-        _measure()
+    _measure()
 
 
 def _measure():
@@ -185,18 +189,26 @@ def _measure():
     # that dominate wall-clock on remote/tunneled backends and would make
     # this measure dispatch latency instead of step compute
     iters = 30
-    rngs = list(jax.random.split(rng, iters + 1))  # materialize outside the loop
+    rngs = list(jax.random.split(rng, iters + 2))  # materialize outside the loop
     jax.block_until_ready(rngs)
 
-    # warmup/compile
+    # compile + warmup OUTSIDE the campaign pause: a cold compile of this
+    # step takes up to ~25 min server-side, and stealing that much chip time
+    # from a paused training campaign (a) wastes the campaign and (b) once
+    # left a watchdog killing the paused trainer on resume
     tstate, m = step(tstate, batch, rngs[0])
     jax.block_until_ready(m["loss"])
 
-    t0 = time.time()
-    for i in range(iters):
-        tstate, m = step(tstate, batch, rngs[i + 1])
-    jax.block_until_ready(m["loss"])
-    dt = (time.time() - t0) / iters
+    with _PauseCampaign():
+        # one more warm step so the first timed step isn't interleaved with
+        # the campaign's last in-flight program
+        tstate, m = step(tstate, batch, rngs[iters + 1])
+        jax.block_until_ready(m["loss"])
+        t0 = time.time()
+        for i in range(iters):
+            tstate, m = step(tstate, batch, rngs[i + 1])
+        jax.block_until_ready(m["loss"])
+        dt = (time.time() - t0) / iters
 
     steps_per_sec = 1.0 / dt
     # chip peak for the honest MFU number: TPU v5e (v5 lite) = 197 TFLOP/s

@@ -69,12 +69,16 @@ watched_attempt() {
       age=$(( now - t0 ))
       grace=$STARTUP_GRACE_S
     fi
-    if [ "$age" -gt "$grace" ]; then
+    # two-strike rule: after an external SIGSTOP/SIGCONT (bench.py pauses
+    # campaign groups) the first check sees a huge stale age even though the
+    # trainer is fine — only kill if TWO consecutive checks are stale.
+    if [ "$age" -gt "$grace" ] && [ "${stale_before:-0}" = 1 ]; then
       echo "[r2] $exp STALLED (metrics idle ${age}s > ${grace}s); killing $tpid"
       kill -9 "$tpid" 2>/dev/null
       wait "$tpid" 2>/dev/null
       return 1
     fi
+    if [ "$age" -gt "$grace" ]; then stale_before=1; else stale_before=0; fi
   done
   wait "$tpid"
 }

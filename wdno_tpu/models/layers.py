@@ -111,8 +111,16 @@ class TemporalDecompConv3d(nn.Module):
         # fastest end-to-end on TPU v5e (bench.py A/B, r2: native 6.50,
         # large-k 6.77, full decomp 6.18 steps/s — the 3^3 resblock convs
         # lose more in the shift-add backward than they gain forward).
+        # "narrow" additionally decomposes temporal convs with <128 output
+        # channels: profiling shows out-64 conv fusions run at 29-47 TF/s
+        # (half-empty 128-lane output tiles) while the packed kd*C_out
+        # variants reach 95-130 TF/s.
         env = _os.environ.get("WDNO_DECOMP_CONV3D", "large-k")
-        use_decomp = env == "1" or (env == "large-k" and kd >= 7)
+        use_decomp = (
+            env == "1"
+            or (env == "large-k" and kd >= 7)
+            or (env == "narrow" and (kd >= 7 or (kd > 1 and self.features < 128)))
+        )
         if not use_decomp:
             # native XLA conv3d lowering (same params)
             dn = jax.lax.conv_dimension_numbers(
@@ -140,15 +148,32 @@ class TemporalDecompConv3d(nn.Module):
             xf, k2, self.strides[1:], pad2d, dimension_numbers=dn
         )
         ho, wo = y.shape[1], y.shape[2]
-        y = y.reshape(b, f, ho, wo, kd, self.features)
+        # keep the taps packed in the CHANNEL dim (lane-aligned 64-multiple
+        # slices) instead of reshaping to a 6D [.., kd, feat] tensor: the 6D
+        # view forced XLA into exotic-layout copies costing ~5 ms/step at
+        # the bench config (r2 profile, copy pairs around pad_add)
+        y = y.reshape(b, f, ho, wo, kd * self.features)
         if kd == 1:
-            out = y[:, :, :, :, 0]
+            out = y
         else:
             ctr = kd // 2
-            ypad = jnp.pad(y, ((0, 0), (ctr, ctr), (0, 0), (0, 0), (0, 0), (0, 0)))
-            out = ypad[:, 0 : f, :, :, 0]
-            for dt in range(1, kd):
-                out = out + ypad[:, dt : dt + f, :, :, dt]
+            nf = self.features
+            # out[:, t] = sum_dt y[:, t + dt - ctr, ..., dt*nf:(dt+1)*nf]
+            # with out-of-range frames dropped (zero padding), written as
+            # static F-range slice-adds so no padded intermediate or 6D
+            # layout is materialized
+            out = y[:, :, :, :, ctr * nf : (ctr + 1) * nf]
+            for dt in range(kd):
+                if dt == ctr:
+                    continue
+                off = dt - ctr  # out[t] += y[t + off, tap dt]
+                # source frames s = t + off for the valid t range
+                src = y[:, max(0, off) : f + min(0, off), :, :,
+                        dt * nf : (dt + 1) * nf]
+                pad_lo = max(0, -off)
+                pad_hi = max(0, off)
+                out = out + jnp.pad(
+                    src, ((0, 0), (pad_lo, pad_hi), (0, 0), (0, 0), (0, 0)))
         if self.use_bias:
             out = out + jnp.asarray(bias, self.dtype)
         return out
