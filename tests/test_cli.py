@@ -67,6 +67,35 @@ def test_cli_burgers_pipeline(pipeline_dirs):
     assert np.isfinite(mse)
 
 
+def test_cli_eval_chunk_sweep(pipeline_dirs):
+    """--chunk sweeps the ntest range in one process, writing one raw file
+    per chunk and skipping chunks that already exist (crash recovery without
+    re-paying the data load per chunk)."""
+    data, results = pipeline_dirs
+    exp = os.path.join(results, "cli_test")
+    if not os.path.exists(os.path.join(exp, "model-final")):
+        main(["datagen-burgers", "--n_train", "24", "--n_test", "8",
+              "--super_factor", "2", "--batch", "32", "--out", data])
+        main(["prep-burgers", "--data", data, "--n_downsample", "1"])
+        main(_train_argv(data, results))
+    for f in ("eval_raw_sim_0.npz", "eval_raw_sim_2.npz"):
+        p = os.path.join(exp, f)
+        if os.path.exists(p):
+            os.remove(p)
+    # pre-seed chunk 0 with a sentinel: the sweep must SKIP it untouched
+    sentinel = os.path.join(exp, "eval_raw_sim_0.npz")
+    np.savez(sentinel, ddpm_mse=np.array([123.0, 123.0]))
+    main(["eval-burgers", "--data", data, "--results", results,
+          "--exp", "cli_test", "--task", "sim", "--checkpoint", "final",
+          "--ntest", "4", "--chunk", "2", "--batch_eval", "2",
+          "--ddim_steps", "5"])
+    kept = np.load(sentinel)
+    assert kept["ddpm_mse"].tolist() == [123.0, 123.0], "chunk 0 was redone"
+    fresh = np.load(os.path.join(exp, "eval_raw_sim_2.npz"))
+    assert fresh["ddpm_mse"].shape == (2,) and np.isfinite(fresh["ddpm_mse"]).all()
+    os.remove(sentinel)  # don't poison later aggregate assertions
+
+
 def test_cli_burgers_tensor_parallel(pipeline_dirs):
     # dp x tp mesh reachable from the CLI (runs on the 8-virtual-device
     # CPU mesh); self-contained when run in isolation

@@ -486,9 +486,20 @@ def cmd_eval_burgers(args):
             ot, ox = (ot - 1) * 2 + 1, ox * 2
             levels.append((((ot + 1) // 2, (ox + 1) // 2), (ot, ox)))
 
-    results = {}
+    # --chunk: sweep the whole ntest range in ONE process (the coefficient/
+    # test blobs take ~20 min to load, so per-chunk subprocesses pay that 8x)
+    # while still writing one crash-recoverable eval_raw_*.npz per chunk and
+    # skipping chunks a previous (possibly killed) sweep already produced.
+    chunk = getattr(args, "chunk", None) or args.ntest
+    task_tag = args.task + ("_sr" if args.super_exp else "")
     eval_mesh = _eval_mesh(args.batch_eval, getattr(args, 'shard_eval', 'auto'))
-    for i in range(0, args.ntest, args.batch_eval):
+    for cs in range(0, args.ntest, chunk):
+      chunk_path = os.path.join(outdir, f"eval_raw_{task_tag}_{start + cs}.npz")
+      if chunk < args.ntest and os.path.exists(chunk_path):
+        print(f"chunk {start + cs}: already done, skipping", flush=True)
+        continue
+      results = {}
+      for i in range(cs, min(cs + chunk, args.ntest), args.batch_eval):
         rng = jax.random.PRNGKey(start + i)
         sl = slice(i, i + args.batch_eval)
         if args.task == "sim":
@@ -526,22 +537,20 @@ def cmd_eval_burgers(args):
                     results.setdefault(k, []).append(v)
         print(f"batch {i}: " + ", ".join(f"{k}={np.concatenate(v).mean():.6f}" for k, v in results.items()), flush=True)
 
-    # raw per-chunk values: chunked runs (--start) can be combined exactly
-    # afterwards, and a crash mid-eval loses only the current chunk.  Runs
-    # with the SR chain attached get their own tag so their chunks don't
-    # collide with (differently-keyed) base-only chunks of the same task.
-    task_tag = args.task + ("_sr" if args.super_exp else "")
-    np.savez(
-        os.path.join(outdir, f"eval_raw_{task_tag}_{start}.npz"),
-        **{k: np.concatenate(v) for k, v in results.items()},
-    )
-    save_path = os.path.join(outdir, "eval_results.json")
-    key = task_tag if start == 0 else f"{task_tag}_start{start}"
-    for k, v in results.items():
-        save_acc(np.concatenate(v), save_path, key, k)
-    print("saved", save_path)
-    for k, v in results.items():
-        print(k, float(np.concatenate(v).mean()))
+      # raw per-chunk values: chunked runs (--start/--chunk) can be combined
+      # exactly afterwards (aggregate-eval), and a crash mid-eval loses only
+      # the current chunk.  Runs with the SR chain attached get their own tag
+      # so their chunks don't collide with base-only chunks of the same task.
+      np.savez(
+          chunk_path, **{k: np.concatenate(v) for k, v in results.items()}
+      )
+      save_path = os.path.join(outdir, "eval_results.json")
+      key = task_tag if start + cs == 0 else f"{task_tag}_start{start + cs}"
+      for k, v in results.items():
+          save_acc(np.concatenate(v), save_path, key, k)
+      print("saved", save_path)
+      for k, v in results.items():
+          print(k, float(np.concatenate(v).mean()))
 
 
 def cmd_datagen_smoke(args):
@@ -1326,6 +1335,10 @@ def _build_parser():
                         "[start, start+ntest) so a long eval can run (and "
                         "recover) in chunks; raw per-chunk values are saved")
     p.add_argument("--batch_eval", type=int, default=50)
+    p.add_argument("--chunk", type=int, default=None,
+                   help="write one eval_raw_*.npz per CHUNK samples inside a "
+                        "single process (one expensive data load), skipping "
+                        "chunks that already exist")
     p.add_argument("--shard_eval", choices=("auto", "on", "off"), default="auto",
                    help="shard sampling over visible devices (auto: when the "
                         "batch divides; off: bit-reproducible single-device)")

@@ -211,6 +211,33 @@ class SpatialConvTranspose3d(nn.Module):
         return y.reshape(b, f, y.shape[1], y.shape[2], self.features)
 
 
+class GNFilmSilu(nn.Module):
+    """GroupNorm -> FiLM -> SiLU, fused into Pallas kernels on TPU
+    (:mod:`wdno_tpu.ops.norm_pallas`; XLA's GroupNorm lowering reduces over a
+    reshaped ``[..., G, C/G]`` minor-dim-8 layout at ~6% lane utilization).
+
+    Parameter names/shapes match ``nn.GroupNorm`` ('scale', 'bias'), so a
+    checkpoint trained either way loads in both and the torch converter is
+    unaffected; instantiate with ``name="GroupNorm_0"`` for tree parity.
+    """
+
+    groups: int = 8
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, scale_shift: Optional[Tuple[Array, Array]] = None) -> Array:
+        from ..ops.norm_pallas import gn_film_silu
+
+        gamma = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        beta = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        scale = shift = None
+        if scale_shift is not None:
+            scale, shift = (s.reshape(s.shape[0], s.shape[-1]) for s in scale_shift)
+        return gn_film_silu(x, gamma, beta, scale, shift,
+                            groups=self.groups, eps=self.eps)
+
+
 class ConvBlock(nn.Module):
     """Conv(k3) -> GroupNorm -> FiLM -> SiLU over any spatial rank
     (reference ``unet.py:129-148`` / ``conv3d.py:189-204``)."""
@@ -229,13 +256,11 @@ class ConvBlock(nn.Module):
             x = TemporalDecompConv3d(self.dim_out, k, dtype=self.dtype, name="Conv_0")(x)
         else:
             x = nn.Conv(self.dim_out, k, padding="SAME", dtype=self.dtype)(x)
-        # epsilon matches torch GroupNorm (1e-5) for checkpoint-conversion parity
-        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            bshape = (scale.shape[0],) + (1,) * self.spatial_rank + (scale.shape[-1],)
-            x = x * (scale.reshape(bshape) + 1) + shift.reshape(bshape)
-        return nn.silu(x)
+        # epsilon matches torch GroupNorm (1e-5) for checkpoint-conversion
+        # parity; fused GN+FiLM+SiLU with the GroupNorm param tree pinned
+        return GNFilmSilu(
+            groups=self.groups, dtype=self.dtype, name="GroupNorm_0"
+        )(x, scale_shift)
 
 
 class ResnetBlock(nn.Module):
