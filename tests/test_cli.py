@@ -12,6 +12,10 @@ import os
 import numpy as np
 import pytest
 
+# heavy integration surface: excluded from the fast gate
+# (`pytest -m 'not slow'`, ~3 min); the campaign/nightly run covers it
+pytestmark = pytest.mark.slow
+
 from wdno_tpu.cli import main
 
 

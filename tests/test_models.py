@@ -1,6 +1,11 @@
 """Denoiser model tests: shapes, dtype policy, gradient flow."""
 
 import numpy as np
+import pytest
+
+# heavy integration surface: excluded from the fast gate
+# (`pytest -m 'not slow'`, ~3 min); the campaign/nightly run covers it
+pytestmark = pytest.mark.slow
 import jax
 import jax.numpy as jnp
 

@@ -22,9 +22,9 @@ from wdno_tpu.parallel.mesh import make_mesh, train_state_shardings
 from wdno_tpu.train.state import TrainConfig, create_train_state
 from wdno_tpu.train.trainer import make_train_step
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     jax.device_count() < 8, reason="needs the 8-virtual-device CPU mesh"
-)
+)]
 
 
 def _tiny_problem():

@@ -13,6 +13,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavy integration surface: excluded from the fast gate
+# (`pytest -m 'not slow'`, ~3 min); the campaign/nightly run covers it
+pytestmark = pytest.mark.slow
+
 from wdno_tpu.core.conditioning import burgers_wavelet_spec
 from wdno_tpu.core.diffusion import GaussianDiffusion
 from wdno_tpu.core.schedules import make_schedule

@@ -13,9 +13,9 @@ import pytest
 
 REF = "/root/reference"
 torch = pytest.importorskip("torch")
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not os.path.isdir(REF), reason="upstream reference repo not available"
-)
+)]
 
 
 @pytest.fixture(autouse=True)

@@ -9,6 +9,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# heavy integration surface: excluded from the fast gate
+# (`pytest -m 'not slow'`, ~3 min); the campaign/nightly run covers it
+pytestmark = pytest.mark.slow
+
 from wdno_tpu.core.diffusion import GaussianDiffusion
 from wdno_tpu.core.schedules import make_schedule
 from wdno_tpu.train.state import TrainConfig, create_train_state, ema_update, make_optimizer
