@@ -125,18 +125,25 @@ def main():
     args = ap.parse_args()
 
     if not args.parse_only:
+        from bench import _PauseCampaign  # repo root is on sys.path above
+
         step, tstate, batch = build_step()
-        rngs = list(jax.random.split(jax.random.PRNGKey(0), args.steps + 1))
+        rngs = list(jax.random.split(jax.random.PRNGKey(0), args.steps + 2))
         jax.block_until_ready(rngs)
         tstate, m = step(tstate, batch, rngs[0])  # compile + warmup
         jax.block_until_ready(m["loss"])
-        t0 = time.time()
-        jax.profiler.start_trace(args.out)
-        for i in range(args.steps):
-            tstate, m = step(tstate, batch, rngs[i + 1])
-        jax.block_until_ready(m["loss"])
-        jax.profiler.stop_trace()
-        dt = (time.time() - t0) / args.steps
+        with _PauseCampaign():
+            # one more warm step so the first traced step isn't interleaved
+            # with a paused campaign's last in-flight program
+            tstate, m = step(tstate, batch, rngs[args.steps + 1])
+            jax.block_until_ready(m["loss"])
+            t0 = time.time()
+            jax.profiler.start_trace(args.out)
+            for i in range(args.steps):
+                tstate, m = step(tstate, batch, rngs[i + 1])
+            jax.block_until_ready(m["loss"])
+            jax.profiler.stop_trace()
+            dt = (time.time() - t0) / args.steps
         print(f"traced {args.steps} steps, {dt * 1e3:.1f} ms/step ({1 / dt:.2f} steps/s)")
     parse_trace(args.out)
 

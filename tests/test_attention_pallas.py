@@ -100,3 +100,73 @@ def test_fused_linear_attention_matches_einsum():
     ge = jax.grad(lambda p: (m_e.apply(p, x) ** 2).sum())(params)
     for a, b in zip(jax.tree_util.tree_leaves(gf), jax.tree_util.tree_leaves(ge)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# native-layout temporal attention
+
+
+def _ref_temporal(qkv, bias, heads, dim_head):
+    """Transposed reference: rotary(scale*q), rotary(k), softmax(qk+b)v."""
+    b, f, h, w, hd3 = qkv.shape
+    hd = hd3 // 3
+    qf = qkv.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, hd3)
+    q, k, v = jnp.split(qf.astype(jnp.float32), 3, axis=-1)
+    q = apply_rotary_packed(q * dim_head**-0.5, heads)
+    k = apply_rotary_packed(k, heads)
+    o = _ref_attention(q, k, v, bias.astype(jnp.float32), heads)
+    return o.reshape(b, h, w, f, hd).transpose(0, 3, 1, 2, 4)
+
+
+def test_temporal_attention_native_forward_matches_transposed():
+    from wdno_tpu.ops.attention_pallas import temporal_attention_native
+
+    rng = np.random.default_rng(3)
+    b, f, h, w, heads, d = 2, 6, 3, 8, 4, 8
+    qkv = jnp.asarray(rng.standard_normal((b, f, h, w, 3 * heads * d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+    out = temporal_attention_native(qkv, bias, heads=heads, dim_head=d,
+                                    scale=d**-0.5)
+    assert out is not None
+    ref = _ref_temporal(qkv, bias, heads, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_temporal_attention_native_grads_match():
+    from wdno_tpu.ops.attention_pallas import temporal_attention_native
+
+    rng = np.random.default_rng(4)
+    b, f, h, w, heads, d = 1, 5, 2, 8, 2, 8
+    qkv = jnp.asarray(rng.standard_normal((b, f, h, w, 3 * heads * d)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((b, f, h, w, heads * d)), jnp.float32)
+
+    def loss_native(qkv, bias):
+        return (temporal_attention_native(qkv, bias, heads=heads, dim_head=d,
+                                          scale=d**-0.5) * cot).sum()
+
+    def loss_ref(qkv, bias):
+        return (_ref_temporal(qkv, bias, heads, d) * cot).sum()
+
+    gn = jax.grad(loss_native, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+    for a, b_, name in zip(gn, gr, ("qkv", "bias")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5,
+                                   err_msg=name)
+
+
+def test_attention_module_native_video_matches_transposed_module():
+    """The Attention module's native-video path equals the sequence path."""
+    rng = np.random.default_rng(5)
+    b, f, h, w, c, heads, d = 1, 4, 2, 8, 16, 2, 8
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, f, f)), jnp.float32)
+    native = Attention(heads=heads, dim_head=d, use_rotary=True,
+                       native_video=True)
+    seq = Attention(heads=heads, dim_head=d, use_rotary=True, fused=False)
+    params = native.init(jax.random.PRNGKey(0), x, bias)
+    out_n = native.apply(params, x, bias)
+    xs = x.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
+    out_s = seq.apply(params, xs, bias)
+    out_s = out_s.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s), atol=3e-5)

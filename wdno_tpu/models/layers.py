@@ -107,18 +107,32 @@ class TemporalDecompConv3d(nn.Module):
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
 
-        # Default "large-k": decompose only the 7^3 init conv, measured
-        # fastest end-to-end on TPU v5e (bench.py A/B, r2: native 6.50,
-        # large-k 6.77, full decomp 6.18 steps/s — the 3^3 resblock convs
-        # lose more in the shift-add backward than they gain forward).
-        # "narrow" additionally decomposes temporal convs with <128 output
-        # channels: profiling shows out-64 conv fusions run at 29-47 TF/s
-        # (half-empty 128-lane output tiles) while the packed kd*C_out
-        # variants reach 95-130 TF/s.
-        env = _os.environ.get("WDNO_DECOMP_CONV3D", "large-k")
+        # Lowering A/B history (bench.py, TPU v5e, smoke base config):
+        # native 6.50, large-k 6.77, full decomp 6.18, narrow 6.83 steps/s.
+        # Default "vjp": the packed custom-VJP decomposition
+        # (ops/conv3d_packed.py) for every stride-1 odd temporal conv that
+        # native conv3d lowers badly (<128 output channels half-fill the MXU
+        # lanes: 31-51 TF/s measured, vs ~120 for the packed form) plus the
+        # huge-FLOP 7^3 init conv; plain-AD variants ("1"/"narrow"/"large-k")
+        # kept for A/B, "0" forces native conv3d everywhere.
+        env = _os.environ.get("WDNO_DECOMP_CONV3D", "vjp")
+        if (
+            env == "vjp"
+            and kd > 1
+            and (self.features < 128 or kd >= 7)
+            and self.strides == (1, 1, 1)
+            and self.padding == "SAME"
+            and kd % 2 == 1
+        ):
+            from ..ops.conv3d_packed import packed_conv3d
+
+            out = packed_conv3d(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
+            if self.use_bias:
+                out = out + jnp.asarray(bias, self.dtype)
+            return out
         use_decomp = (
             env == "1"
-            or (env == "large-k" and kd >= 7)
+            or (env in ("large-k", "vjp") and kd >= 7)
             or (env == "narrow" and (kd >= 7 or (kd > 1 and self.features < 128)))
         )
         if not use_decomp:
@@ -358,6 +372,10 @@ class Attention(nn.Module):
     # the reference's 2D full attention projects out with bias
     # (unet.py to_out Conv2d), its 3D temporal attention without
     out_bias: bool = False
+    # temporal attention over axis 1 of a native [B, F, H, W, C] input —
+    # qkv/out projections and the fused kernel all run in the video layout,
+    # so the 'b f h w c <-> b (h w) f c' transposes never hit HBM
+    native_video: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -367,6 +385,30 @@ class Attention(nn.Module):
         lead = x.shape[:-2]
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+
+        if self.native_video and x.ndim == 5:
+            from ..ops.attention_pallas import temporal_attention_native
+
+            b, f, hh, ww, _ = x.shape
+            bias = pos_bias if pos_bias is not None else jnp.zeros(
+                (self.heads, f, f), jnp.float32)
+            assert self.use_rotary, "native video path assumes rotary"
+            out = temporal_attention_native(
+                qkv, bias, heads=self.heads, dim_head=self.dim_head,
+                scale=self.dim_head**-0.5)
+            if out is None:  # block too large for VMEM: transposed fallback
+                from ..ops.attention_pallas import fused_attention
+
+                qf = qkv.transpose(0, 2, 3, 1, 4).reshape(b * hh * ww, f,
+                                                          3 * hidden)
+                q, k, v = jnp.split(qf, 3, axis=-1)
+                q = apply_rotary_packed(q * self.dim_head**-0.5, self.heads)
+                k = apply_rotary_packed(k, self.heads)
+                out = fused_attention(q, k, v, bias, heads=self.heads)
+                assert out is not None, "frame count too large for VMEM kernels"
+                out = out.reshape(b, hh, ww, f, hidden).transpose(0, 3, 1, 2, 4)
+            return nn.Dense(c, use_bias=self.out_bias, dtype=self.dtype)(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         if self.fused:

@@ -58,14 +58,14 @@ class _TemporalAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, pos_bias: Array) -> Array:
-        b, f, h, w, c = x.shape
         y = ChannelLayerNorm(dtype=self.dtype)(x)
-        # 'b c f h w -> b (h w) f c': attend over f at each site
-        y = y.transpose(0, 2, 3, 1, 4).reshape(b, h * w, f, c)
+        # frame attention in the native [B, F, H, W, C] layout: the fused
+        # kernel reads strided, so the 'b c f h w -> b (h w) f c' transpose
+        # of the reference never materializes (conv3d.py:383,443)
         y = Attention(
-            heads=self.heads, dim_head=self.dim_head, use_rotary=True, dtype=self.dtype
+            heads=self.heads, dim_head=self.dim_head, use_rotary=True,
+            native_video=True, dtype=self.dtype
         )(y, pos_bias=pos_bias)
-        y = y.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
         return x + y
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_attention", "fused_linear_attention"]
+__all__ = ["fused_attention", "fused_linear_attention", "temporal_attention_native"]
 
 
 def _on_tpu() -> bool:
@@ -179,6 +179,315 @@ def _fa_bwd(heads, res, g):
 
 
 _fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Native-layout temporal attention
+#
+# The video denoiser's temporal attention (reference ``conv3d.py:383,443``)
+# attends over the F frames at every spatial site.  The einsum formulation
+# needs the state transposed 'b f h w c -> b (h w) f c' and back — at the
+# full-resolution levels those two copies plus the rotary/scale passes cost
+# more than the attention itself (r2 profile: ~28 ms/step of the 147 ms
+# bench step was attention-adjacent layout/elementwise).  This kernel reads
+# the packed qkv projection IN ITS NATIVE [B, F, H, W, 3*hd] layout (one
+# strided DMA per (batch, H-row) block), applies scale+rotary+bias+softmax
+# in VMEM, and writes the output back in native layout: one HBM read and one
+# HBM write, no transposes ever materialized.
+#
+# Rotary is applied as ``x*cos + (x@R)*sin`` where R is the constant
+# antisymmetric pair-swap matrix (R[2i+1,2i]=-1, R[2i,2i+1]=+1, tiled per
+# head) — the interleaved-pair rotation becomes one 128x128 MXU op instead
+# of a lane-shuffling reshape.  The query scale is folded into its cos/sin
+# tables.  R^T = -R, which the backward uses to un-rotate gradients.
+
+
+def _rot_tables(f: int, heads: int, d: int, scale: float, theta: float):
+    """cos/sin [F, heads*d] tables (q tables carry the scale) + R [hd, hd]."""
+    import numpy as np
+
+    half = d // 2
+    freqs = 1.0 / (theta ** (np.arange(half) / half))
+    pos = np.arange(f)[:, None] * freqs[None, :]  # [F, half]
+    cos = np.tile(np.repeat(np.cos(pos), 2, axis=-1), (1, heads))
+    sin = np.tile(np.repeat(np.sin(pos), 2, axis=-1), (1, heads))
+    hd = heads * d
+    r = np.zeros((hd, hd), np.float32)
+    idx = np.arange(hd // 2)
+    r[2 * idx + 1, 2 * idx] = -1.0
+    r[2 * idx, 2 * idx + 1] = 1.0
+    return (cos.astype(np.float32), sin.astype(np.float32),
+            (cos * scale).astype(np.float32), (sin * scale).astype(np.float32), r)
+
+
+def _rotate(x, cos, sin, r):
+    """x: [S, F, hd]; cos/sin: [F, hd]; r: [hd, hd]; all in x.dtype
+    (the MXU accumulator is always f32; results are cast back)."""
+    xr = jax.lax.dot_general(
+        x, r, (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    return x * cos[None] + xr * sin[None]
+
+
+def _unrotate(g, cos, sin, r):
+    """VJP of :func:`_rotate` wrt x (R^T = -R)."""
+    gr = jax.lax.dot_general(
+        g * sin[None], r, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(g.dtype)
+    return g * cos[None] - gr
+
+
+def _site_group(s: int, f: int, cap: int = 160) -> int:
+    """Site grouping factor (pinned to 1 — see _tan_fwd_kernel note)."""
+    del s, f, cap
+    return 1
+
+
+# Site-grouped attention: instead of one tiny [F, D] x [D, F] matmul per
+# spatial site (160 MXU dispatches per block — measured launch-bound at
+# ~11 us/block), G sites are packed into one [F*G, D] x [D, F*G] matmul
+# whose cross-site logits are killed by a Kronecker mask folded into the
+# bias: mb[h] = kron(bias[h], I_G) - BIG * (1 - kron(1_FxF, I_G)).  Rows
+# are f-major (row = f*G + s), which is exactly the contiguous reshape of
+# a [F, G, D] slice — no in-kernel transposes at all.
+
+
+def _tan_fwd_kernel(heads, G, qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                    r_ref, mb_ref, o_ref):
+    # One [F, S] -> [S, F] transpose on entry and exit; per-head batched
+    # dots over the S sites (Mosaic requires batch dims at position 0).
+    # Everything is promoted to f32 once at load: bf16 VMEM ops use the
+    # (16, 128) packed tiling, and the per-head slices/batched dots then
+    # relayout constantly — measured 3.1 ms bf16 vs 2.7 ms f32 at the bench
+    # shape.  A site-grouped variant (G sites per masked matmul) also
+    # measured slower (4.05 ms): the group reshape/concat relayouts cost
+    # more than the larger matmuls save, so G is pinned to 1.
+    del G
+    blk = qkv_ref[0, :, 0, :, :].astype(jnp.float32).swapaxes(0, 1)  # [S,F,3hd]
+    hd = o_ref.shape[-1]
+    dt = blk.dtype
+    r = r_ref[...].astype(dt)
+    cq, sq = cq_ref[...].astype(dt), sq_ref[...].astype(dt)
+    ck, sk = ck_ref[...].astype(dt), sk_ref[...].astype(dt)
+    q = _rotate(blk[..., :hd], cq, sq, r)
+    k = _rotate(blk[..., hd:2 * hd], ck, sk, r)
+    v = blk[..., 2 * hd:]
+    D = hd // heads
+    outs = []
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        s = jax.lax.dot_general(
+            q[:, :, sl], k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + mb_ref[h][None]
+        s = s - s.max(-1, keepdims=True)
+        p = jnp.exp(s)
+        p = (p / p.sum(-1, keepdims=True)).astype(dt)
+        o = jax.lax.dot_general(
+            p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o.astype(dt))
+    o = jnp.concatenate(outs, axis=-1)  # [S, F, hd]
+    o_ref[0, :, 0, :, :] = o.swapaxes(0, 1).astype(o_ref.dtype)
+
+
+def _tan_bwd_kernel(heads, G, qkv_ref, cq_ref, sq_ref, ck_ref, sk_ref,
+                    r_ref, mb_ref, g_ref, dqkv_ref, db_ref):
+    del G
+    i0 = pl.program_id(0)
+
+    @pl.when(i0 == 0)
+    def _():
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    blk = qkv_ref[0, :, 0, :, :].astype(jnp.float32).swapaxes(0, 1)  # [S,F,3hd]
+    hd = g_ref.shape[-1]
+    dt = blk.dtype
+    r = r_ref[...].astype(dt)
+    cq, sq = cq_ref[...].astype(dt), sq_ref[...].astype(dt)
+    ck, sk = ck_ref[...].astype(dt), sk_ref[...].astype(dt)
+    q = _rotate(blk[..., :hd], cq, sq, r)
+    k = _rotate(blk[..., hd:2 * hd], ck, sk, r)
+    v = blk[..., 2 * hd:]
+    gout = g_ref[0, :, 0, :, :].astype(jnp.float32).swapaxes(0, 1)  # [S, F, hd]
+    D = hd // heads
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * D, (h + 1) * D)
+        qh, kh, vh, gh = (t[:, :, sl] for t in (q, k, v, gout))
+        s = jax.lax.dot_general(
+            qh, kh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + mb_ref[h][None]
+        s = s - s.max(-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / p.sum(-1, keepdims=True)  # f32 [S, F, F]
+        pb = p.astype(dt)
+        # dv[s, g, d] = sum_f p[s, f, g] gout[s, f, d]
+        dv = jax.lax.dot_general(
+            pb, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        # dp[s, f, g] = sum_d gout[s, f, d] v[s, g, d]
+        dp = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - (dp * p).sum(-1, keepdims=True))
+        dsb = ds.astype(dt)
+        dq = jax.lax.dot_general(
+            dsb, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            dsb, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dqs.append(dq.astype(dt))
+        dks.append(dk.astype(dt))
+        dvs.append(dv.astype(dt))
+        db_ref[h] = db_ref[h] + ds.sum(0)
+    dq = _unrotate(jnp.concatenate(dqs, -1), cq, sq, r)
+    dk = _unrotate(jnp.concatenate(dks, -1), ck, sk, r)
+    dv = jnp.concatenate(dvs, -1)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1).swapaxes(0, 1)
+    dqkv_ref[0, :, 0, :, :] = dqkv.astype(dqkv_ref.dtype)
+
+
+_MASK_BIG = 1e30
+
+
+def _kron_bias(bias, G):
+    """[heads, F, F] -> [heads, G*F, G*F] block-diag mask-bias: rows are
+    s-major (row = s*F + f), so kron(I_G, bias[h]) with -BIG on every
+    cross-site entry."""
+    heads, f, _ = bias.shape
+    eye = jnp.eye(G, dtype=bias.dtype)
+    mb = jnp.einsum("st,hfg->hsftg", eye, bias).reshape(heads, G * f, G * f)
+    hole = jnp.kron(eye, jnp.ones((f, f), bias.dtype))
+    return mb - _MASK_BIG * (1.0 - hole)[None]
+
+
+def _unkron_db(db_big, f, G):
+    """Transpose of :func:`_kron_bias` wrt bias: sum the diagonal blocks."""
+    heads = db_big.shape[0]
+    resh = db_big.reshape(heads, G, f, G, f)
+    return jnp.einsum("hsfsg->hfg", resh)
+
+
+def _tan_specs(b, f, h, w, hd3, hd, heads, G):
+    grid = (b * h,)  # one full (frames x W-row) block per step
+
+    def qkv_idx(i):
+        return (i // h, 0, i % h, 0, 0)
+
+    tab = lambda: pl.BlockSpec((f, hd), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return grid, [
+        pl.BlockSpec((1, f, 1, w, hd3), qkv_idx, memory_space=pltpu.VMEM),
+        tab(), tab(), tab(), tab(),
+        pl.BlockSpec((hd, hd), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, f * G, f * G), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ], pl.BlockSpec((1, f, 1, w, hd), qkv_idx, memory_space=pltpu.VMEM)
+
+
+def _tan_fwd_call(heads, qkv, mb, tabs, G):
+    b, f, h, w, hd3 = qkv.shape
+    hd = hd3 // 3
+    grid, in_specs, o_spec = _tan_specs(b, f, h, w, hd3, hd, heads, G)
+    return pl.pallas_call(
+        functools.partial(_tan_fwd_kernel, heads, G),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((b, f, h, w, hd), qkv.dtype),
+        interpret=not _on_tpu(),
+    )(qkv, *tabs, mb)
+
+
+def _tan_bwd_call(heads, qkv, mb, tabs, g, G):
+    b, f, h, w, hd3 = qkv.shape
+    hd = hd3 // 3
+    grid, in_specs, o_spec = _tan_specs(b, f, h, w, hd3, hd, heads, G)
+    g_spec = o_spec
+    dqkv, db_big = pl.pallas_call(
+        functools.partial(_tan_bwd_kernel, heads, G),
+        grid=grid,
+        in_specs=in_specs + [g_spec],
+        out_specs=[in_specs[0], in_specs[-1]],
+        out_shape=[
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+            jax.ShapeDtypeStruct((heads, f * G, f * G), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)  # db accumulates across steps
+        ),
+        interpret=not _on_tpu(),
+    )(qkv, *tabs, mb, g)
+    return dqkv, db_big
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _tan(heads, dim_head, theta_scale, qkv, bias):
+    theta, scale = theta_scale
+    f, w = qkv.shape[1], qkv.shape[3]
+    G = _site_group(w, f)
+    tabs = [jnp.asarray(t) for t in
+            _tan_tables_cached(f, heads, dim_head, scale, theta)]
+    return _tan_fwd_call(heads, qkv, _kron_bias(bias, G), tabs, G)
+
+
+@functools.lru_cache(maxsize=32)
+def _tan_tables_cached(f, heads, d, scale, theta):
+    cos, sin, cosq, sinq, r = _rot_tables(f, heads, d, scale, theta)
+    return (cosq, sinq, cos, sin, r)
+
+
+def _tan_fwd(heads, dim_head, theta_scale, qkv, bias):
+    return _tan(heads, dim_head, theta_scale, qkv, bias), (qkv, bias)
+
+
+def _tan_bwd(heads, dim_head, theta_scale, res, g):
+    qkv, bias = res
+    theta, scale = theta_scale
+    f, w = qkv.shape[1], qkv.shape[3]
+    G = _site_group(w, f)
+    tabs = [jnp.asarray(t) for t in
+            _tan_tables_cached(f, heads, dim_head, scale, theta)]
+    dqkv, db_big = _tan_bwd_call(heads, qkv, _kron_bias(bias, G), tabs, g, G)
+    return dqkv, _unkron_db(db_big, f, G).astype(bias.dtype)
+
+
+_tan.defvjp(_tan_fwd, _tan_bwd)
+
+
+def temporal_attention_native(qkv, bias, *, heads: int, dim_head: int,
+                              scale: float, theta: float = 10000.0):
+    """Frame attention on native-video-layout packed qkv.
+
+    qkv: ``[B, F, H, W, 3*heads*dim_head]`` (the packed projection, untouched
+    — scale and interleaved rotary are applied inside the kernel); bias:
+    ``[heads, F, F]`` additive logits (differentiable).  Returns
+    ``[B, F, H, W, heads*dim_head]``.  Equivalent to transposing to
+    ``[B*H*W, F, hd]``, applying ``apply_rotary_packed`` to scaled q / k and
+    :func:`fused_attention` — without any HBM transpose.  Returns ``None``
+    when a (frames x W-row) block would not fit VMEM (caller falls back).
+    """
+    b, f, h, w, hd3 = qkv.shape
+    hd = hd3 // 3
+    assert hd == heads * dim_head and dim_head % 2 == 0
+    # bwd working set: qkv/g/dqkv blocks + kron'd bias + score temps
+    G = _site_group(w, f)
+    itemsize = jnp.dtype(qkv.dtype).itemsize
+    vmem = (f * w * hd3 * itemsize) * 5 + (heads + 6) * (f * G) ** 2 * 4
+    if vmem > 10 * 1024 * 1024:
+        return None
+    return _tan(heads, dim_head, (theta, scale), qkv,
+                bias.astype(jnp.float32))
 
 
 def _lin_fwd_kernel(heads, scale, q_ref, k_ref, v_ref, o_ref):
