@@ -197,17 +197,20 @@ def _measure():
     # from a paused training campaign (a) wastes the campaign and (b) once
     # left a watchdog killing the paused trainer on resume
     tstate, m = step(tstate, batch, rngs[0])
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])  # device fetch: the tunneled backend's
+    # block_until_ready can return before the program finishes (observed
+    # 283 "steps"/s = 778% MFU); a host transfer of the result is the only
+    # reliable barrier here.
 
     with _PauseCampaign():
         # one more warm step so the first timed step isn't interleaved with
         # the campaign's last in-flight program
         tstate, m = step(tstate, batch, rngs[iters + 1])
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         t0 = time.time()
         for i in range(iters):
             tstate, m = step(tstate, batch, rngs[i + 1])
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dt = (time.time() - t0) / iters
 
     steps_per_sec = 1.0 / dt

@@ -115,11 +115,14 @@ class TemporalDecompConv3d(nn.Module):
         # lanes: 31-51 TF/s measured, vs ~120 for the packed form) plus the
         # huge-FLOP 7^3 init conv; plain-AD variants ("1"/"narrow"/"large-k")
         # kept for A/B, "0" forces native conv3d everywhere.
+        # (the 7^3 init conv keeps the plain-AD large-k path: its packed
+        # weight-grad measured 5.1 ms vs 3.9 plain at the bench config)
         env = _os.environ.get("WDNO_DECOMP_CONV3D", "vjp")
         if (
             env == "vjp"
             and kd > 1
-            and (self.features < 128 or kd >= 7)
+            and kd < 7
+            and self.features < 128
             and self.strides == (1, 1, 1)
             and self.padding == "SAME"
             and kd % 2 == 1
