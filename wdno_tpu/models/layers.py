@@ -119,10 +119,10 @@ class TemporalDecompConv3d(nn.Module):
         # weight-grad measured 5.1 ms vs 3.9 plain at the bench config)
         env = _os.environ.get("WDNO_DECOMP_CONV3D", "vjp")
         if (
-            env == "vjp"
+            env in ("vjp", "vjp-all")
             and kd > 1
             and kd < 7
-            and self.features < 128
+            and (self.features < 128 or env == "vjp-all")
             and self.strides == (1, 1, 1)
             and self.padding == "SAME"
             and kd % 2 == 1
