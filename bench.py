@@ -33,42 +33,54 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "results", "bench_last.json")
 
 
-def _wait_for_device(max_wait_s=None, poll_s=60):
+def _print_cached(flag):
+    """Print the most recent real-chip measurement, flagged so it can't be
+    mistaken for a fresh number.  Returns True if a cached record existed."""
+    try:
+        rec = json.load(open(_CACHE))
+    except (OSError, ValueError):
+        return False
+    rec["metric"] += flag
+    print(json.dumps(rec), flush=True)
+    return True
+
+
+def _wait_for_device(max_wait_s=None, poll_s=30):
     """Block until the TPU answers a cheap probe, up to a deadline.
 
-    The tunnel to the chip can be transiently down; probing in a fresh
-    subprocess avoids initializing (and error-caching) the backend in this
-    process before the device is actually reachable.
+    The tunnel to the chip can be transiently down (for hours at a time);
+    probing in a fresh subprocess avoids initializing (and error-caching)
+    the backend in this process before the device is actually reachable.
+
+    Driver-robustness contract (round-2 postmortem: BENCH_r02 rc=124 with
+    parsed=null): the FIRST failed probe immediately prints the cached
+    last-real-measurement JSON line, so even if the driver's timeout
+    pre-empts the rest of the wait, a parseable flagged number is already on
+    stdout.  If the device then comes back before the (short) deadline, a
+    fresh measurement is printed as a second JSON line which supersedes it.
     """
-    max_wait_s = max_wait_s or float(os.environ.get("WDNO_BENCH_WAIT_S", 1800))
+    max_wait_s = max_wait_s or float(os.environ.get("WDNO_BENCH_WAIT_S", 240))
     deadline = time.time() + max_wait_s
+    cached_printed = False
     while True:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()[0]"],
-                timeout=120, capture_output=True,
+                timeout=90, capture_output=True,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
+        if not cached_printed:
+            cached_printed = _print_cached("_cached_chip_unreachable")
         if time.time() > deadline:
             print(
                 "bench: device unreachable after "
                 f"{max_wait_s:.0f}s of probing — infra outage, not a perf result",
                 file=sys.stderr,
             )
-            # The tunnel to the chip goes down for hours at a time.  Rather
-            # than record nothing for the round, reprint the most recent
-            # real chip measurement (cached on every successful run below),
-            # flagged so it can't be mistaken for a fresh number.
-            try:
-                rec = json.load(open(_CACHE))
-                rec["metric"] += "_cached_chip_unreachable"
-                print(json.dumps(rec))
-                sys.exit(0)
-            except (OSError, ValueError):
-                sys.exit(1)
+            sys.exit(0 if cached_printed else 1)
         print("bench: device unavailable, retrying...", file=sys.stderr)
         time.sleep(poll_s)
 
@@ -106,7 +118,9 @@ class _PauseCampaign:
         # a `timeout`-delivered SIGTERM must unwind this context manager —
         # the default handler exits WITHOUT running __exit__, which would
         # leave the campaign process groups SIGSTOPped forever
-        signal.signal(signal.SIGTERM, lambda *_: (_ for _ in ()).throw(SystemExit(143)))
+        self._prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda *_: (_ for _ in ()).throw(SystemExit(143))
+        )
 
         own = os.getpgrp()
         for f in self.pidfiles:
@@ -134,14 +148,36 @@ class _PauseCampaign:
                 os.killpg(pgid, signal.SIGCONT)
             except (ProcessLookupError, PermissionError):
                 pass
+        signal.signal(signal.SIGTERM, self._prev_sigterm)
         if self.pgids:
             print(f"bench: resumed campaign groups {self.pgids}", file=sys.stderr)
         return False
 
 
 def main():
+    import signal
+
+    # A driver-side `timeout` sends SIGTERM; never die silently — flush the
+    # cached record first so the round always has a parseable number.
+    def _on_term(*_):
+        _print_cached("_cached_interrupted")
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
     _wait_for_device()
-    _measure()
+    try:
+        _measure()
+    except SystemExit as e:
+        # SystemExit(143) = SIGTERM delivered inside _PauseCampaign (whose
+        # handler must raise so the paused campaign gets SIGCONTed on unwind)
+        if e.code == 143:
+            _print_cached("_cached_interrupted")
+            os._exit(0)
+        raise
+    except BaseException as e:
+        print(f"bench: measurement failed: {e!r}", file=sys.stderr)
+        if not _print_cached("_cached_measure_failed"):
+            raise
 
 
 def _measure():

@@ -1062,24 +1062,13 @@ def cmd_export_ckpt(args):
     carries Adam moments) + step + the experiment config.json.  Persistence
     across workspace wipes: results/ and data/ are disposable, the npz lives
     in git (see import-ckpt)."""
-    import re
-
     import jax
     import orbax.checkpoint as ocp
 
     outdir = os.path.join(args.results, args.exp)
-    if args.milestone == "latest":
-        cands = [
-            int(m.group(1))
-            for n in os.listdir(outdir)
-            if (m := re.fullmatch(r"model-(\d+)", n))
-        ]
-        if not cands:
-            raise SystemExit(f"no numeric model-* checkpoints in {outdir}")
-        milestone = str(max(cands))
-    else:
-        milestone = args.milestone
-    path = os.path.abspath(os.path.join(outdir, f"model-{milestone}"))
+    # same resolution rule as _resolve_checkpoint: "latest" prefers
+    # model-final (a completed run), else the highest numeric milestone
+    path = _resolve_checkpoint(outdir, args.milestone)
     tree = ocp.StandardCheckpointer().restore(path)
 
     flat = {}
@@ -1090,9 +1079,10 @@ def cmd_export_ckpt(args):
             flat[key] = np.asarray(leaf)
 
     dt = np.dtype(args.dtype)
-    put("params:", jax.tree_util.tree_map(
-        lambda x: np.asarray(x, dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
-        tree["params"]))
+    if not args.ema_only:
+        put("params:", jax.tree_util.tree_map(
+            lambda x: np.asarray(x, dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
+            tree["params"]))
     put("ema:", jax.tree_util.tree_map(
         lambda x: np.asarray(x, dt) if np.issubdtype(np.asarray(x).dtype, np.floating) else x,
         tree["ema_params"]))
@@ -1136,6 +1126,8 @@ def cmd_import_ckpt(args):
     flat = dict(np.load(args.npz, allow_pickle=False))
     params = _unflatten(flat, "params:")
     ema = _unflatten(flat, "ema:")
+    if not params:  # --ema_only export: EMA weights stand in for params
+        params = ema
     step = int(flat["step"])
 
     outdir = os.path.join(args.results, args.exp)
@@ -1501,6 +1493,9 @@ def _build_parser():
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--dtype", type=str, default="float16", choices=["float16", "float32"])
     p.add_argument("--include_opt", action="store_true")
+    p.add_argument("--ema_only", action="store_true",
+                   help="store only the EMA weights (halves the npz; "
+                        "import-ckpt uses EMA for params too)")
     p.set_defaults(fn=cmd_export_ckpt)
 
     p = _add_common(sub.add_parser("import-ckpt"))
@@ -1525,6 +1520,14 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", os.environ["WDNO_PLATFORM"])
+    # persistent compile cache for every CLI invocation: campaign stages
+    # re-enter the same train/eval programs constantly, and a cold compile
+    # of the published-config train step costs ~minutes of chip time
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/wdno_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # multi-host bootstrap must precede any JAX call that initializes the
     # XLA backend; env-gated no-op on a single host
     from .parallel.distributed import initialize

@@ -181,7 +181,11 @@ def _coeffs(s, s2, gamma, beta, scale, shift, groups, eps, n, c):
     m = n * (c // groups)
     mean_g = _group_fold(s, groups) / m
     ex2_g = _group_fold(s2, groups) / m
-    rstd_g = jax.lax.rsqrt(ex2_g - mean_g * mean_g + eps)
+    # one-pass E[x^2]-mean^2 can go slightly negative in f32 for
+    # near-constant large-magnitude groups — clamp so rsqrt never sees a
+    # value below eps (flax's central variance is non-negative by
+    # construction; this keeps the fused path equally robust)
+    rstd_g = jax.lax.rsqrt(jnp.maximum(ex2_g - mean_g * mean_g, 0.0) + eps)
     mean = _group_rep(mean_g, c)
     rstd = _group_rep(rstd_g, c)
     gamma = gamma.astype(jnp.float32)[None, :]
@@ -272,8 +276,10 @@ def _core_bwd(cfg, res, g):
           gamma_row[:, None], beta_row[:, None], sp1[:, None])
         pdw, pdwz, pdz, pdzy = (v[:, 0] for v in (pdw, pdwz, pdz, pdzy))
     else:
-        xf = x.astype(jnp.float32)
-        gf = g.astype(jnp.float32)
+        # promote (not downcast) so f64 gradient-parity probes stay at f64,
+        # mirroring _fwd_impl's promotion rule
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+        gf = g.astype(jnp.promote_types(g.dtype, jnp.float32))
         w = xf * a[:, None, :] + b[:, None, :]
         sig = jax.nn.sigmoid(w)
         dw = gf * sig * (1.0 + w * (1.0 - sig))
