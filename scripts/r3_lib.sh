@@ -1,0 +1,112 @@
+# Shared helpers for round-3 queue stages (sourced; not executable).
+# Mirrors the proven campaign_r3.sh machinery, split out so the queue
+# runner can re-read the stage list between stages (VERDICT r2 #7).
+
+PROBE_SLEEP=${PROBE_SLEEP:-120}
+STALL_S=${STALL_S:-1200}
+STARTUP_GRACE_S=${STARTUP_GRACE_S:-4200}
+
+wait_for_tpu() {
+  while true; do
+    if timeout 90 python -c "import jax; d = jax.devices()[0]; print('tpu ok:', d)"; then
+      return 0
+    fi
+    echo "[r3] TPU unavailable $(date -u +%H:%M:%S); retrying in ${PROBE_SLEEP}s"
+    sleep "$PROBE_SLEEP"
+  done
+}
+
+# commit whatever is staged under artifacts/ — never fails the campaign
+commit_artifacts() {
+  git add -A artifacts 2>/dev/null
+  git commit -q -m "$1" 2>/dev/null || true
+}
+
+# stash an experiment's eval/config json into artifacts/eval (results/ is
+# wiped between rounds; VERDICT r2 weak #3)
+save_results() {
+  exp=$1
+  for f in eval_results.json config.json metrics.jsonl; do
+    [ -e "results/$exp/$f" ] && cp "results/$exp/$f" "artifacts/eval/${exp}_${f}"
+  done
+  return 0
+}
+
+# one watched training attempt: $1=exp, $2=export flags, $3...=train command
+# honors DEADLINE_EPOCH (unix s): past it, kill the trainer and return 3.
+watched_attempt() {
+  exp=$1; expflags=$2; shift 2
+  "$@" &
+  tpid=$!
+  t0=$(date +%s)
+  mfile="results/$exp/metrics.jsonl"
+  stale_before=0; n_checks=0
+  while kill -0 "$tpid" 2>/dev/null; do
+    sleep 120
+    n_checks=$(( n_checks + 1 ))
+    now=$(date +%s)
+    if [ -n "$DEADLINE_EPOCH" ] && [ "$now" -gt "$DEADLINE_EPOCH" ]; then
+      echo "[r3] $exp hit stage deadline; stopping trainer $tpid"
+      kill -9 "$tpid" 2>/dev/null; wait "$tpid" 2>/dev/null
+      return 3
+    fi
+    # periodic niced export (~every 30 min): a round boundary or crash can
+    # then never lose more than 30 min of training (the driver commits
+    # uncommitted files at round end).  Commit hourly, not per-export —
+    # each commit permanently stores a new ~45 MB npz blob (ADVICE r2 #5).
+    if [ $(( n_checks % 15 )) -eq 0 ] && [ -d "results/$exp" ]; then
+      nice -n 19 python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+          --out "artifacts/$exp.npz" >/dev/null 2>&1
+      [ $(( n_checks % 30 )) -eq 0 ] && \
+        commit_artifacts "campaign: periodic $exp export"
+    fi
+    if [ -e "$mfile" ] && [ "$(stat -c %Y "$mfile")" -gt "$t0" ]; then
+      age=$(( now - $(stat -c %Y "$mfile") )); grace=$STALL_S
+    else
+      age=$(( now - t0 )); grace=$STARTUP_GRACE_S
+    fi
+    # two-strike rule: after an external SIGSTOP/SIGCONT (bench.py pauses
+    # campaign groups) the first check sees a huge stale age even though
+    # the trainer is fine — only kill if TWO consecutive checks are stale
+    if [ "$age" -gt "$grace" ] && [ "$stale_before" = 1 ]; then
+      echo "[r3] $exp STALLED (metrics idle ${age}s > ${grace}s); killing $tpid"
+      kill -9 "$tpid" 2>/dev/null; wait "$tpid" 2>/dev/null
+      return 1
+    fi
+    if [ "$age" -gt "$grace" ]; then stale_before=1; else stale_before=0; fi
+  done
+  wait "$tpid"
+}
+
+# resumable training loop: $1=exp, $2=train subcmd, $3=export flags,
+# $4=steps, $5...=extra train flags.  Honors DEADLINE_EPOCH (returns 0 and
+# exports whatever exists — the stage is then "done for this round").
+train_to() {
+  exp=$1; subcmd=$2; expflags=$3; steps=$4; shift 4
+  while true; do
+    if [ -n "$DEADLINE_EPOCH" ] && [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; then
+      echo "[r3] $exp deadline reached before completion; keeping latest export"
+      break
+    fi
+    wait_for_tpu
+    flags="--resume"
+    if [ ! -d "results/$exp" ]; then flags="--overwrite"; fi
+    watched_attempt "$exp" "$expflags" python -m wdno_tpu.cli "$subcmd" \
+        --exp "$exp" --steps "$steps" --ckpt_every 5000 $flags "$@"
+    rc=$?
+    if [ "$rc" = 0 ]; then break; fi
+    python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+        --out "artifacts/$exp.npz" 2>/dev/null && \
+      commit_artifacts "campaign: $exp export after interruption"
+    if [ "$rc" = 3 ]; then
+      echo "[r3] $exp stopped at deadline; exported latest milestone"
+      break
+    fi
+    echo "[r3] train $exp interrupted $(date -u +%H:%M:%S); resuming"
+    sleep 30
+  done
+  python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+      --out "artifacts/$exp.npz" || true
+  save_results "$exp"
+  commit_artifacts "campaign: $exp training milestone exported"
+}

@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# S5: guided control eval, reference protocol (DDIM-100,
+# standard_fixed_ratio=100, w_init=0.1; /root/reference/scripts/smoke/
+# inf_base_control.sh:1-10), 50 scenes in crash-recoverable chunks of 10.
+. "$(dirname "$0")/../r3_lib.sh"
+for ((s = 0; s < 50; s += 10)); do
+  if [ -e "results/base_control_smoke/eval_raw_control_${s}.npz" ]; then
+    echo "[r3 smoke ctrl chunk $s] already done"; continue
+  fi
+  ok=0
+  for attempt in 1 2 3; do
+    wait_for_tpu
+    echo "[r3 smoke ctrl chunk $s] attempt $attempt $(date -u +%H:%M:%S)"
+    if timeout 5400 python -m wdno_tpu.cli eval-smoke --data data/2d \
+        --exp base_control_smoke --task control --checkpoint latest \
+        --start "$s" --ntest 10 --batch_eval 10 --ddim_steps 100 \
+        --standard_fixed_ratio 100 --w_init 0.1; then
+      ok=1; break
+    fi
+    echo "[r3 smoke ctrl chunk $s] attempt $attempt FAILED"; sleep 30
+  done
+  [ "$ok" = 1 ] || echo "[r3 smoke ctrl chunk $s] giving up"
+done
+python -m wdno_tpu.cli aggregate-eval --results results --exp base_control_smoke --task control
+save_results base_control_smoke
+commit_artifacts "campaign: smoke control eval results"

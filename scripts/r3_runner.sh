@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Round-3 chip-greedy stage queue (VERDICT r2 #7): executes
+# scripts/r3_queue.d/NN_*.sh in lexical order, re-globbing between stages so
+# stages can be inserted/edited mid-round without touching a running script
+# (bash reads scripts incrementally — editing a running one corrupts it).
+# A stage is skipped once logs/stamps/<name>.done exists; after MAX_TRIES
+# failures it is parked as .skipped and the queue moves on (a dead stage
+# must never idle the chip while later stages are pending).
+cd "$(dirname "$0")/.."
+echo $$ > /tmp/campaign_r3.pid
+mkdir -p logs/stamps artifacts/eval results
+MAX_TRIES=${MAX_TRIES:-5}
+while true; do
+  next=""
+  for s in scripts/r3_queue.d/[0-9]*.sh; do
+    [ -e "$s" ] || continue
+    base=$(basename "$s" .sh)
+    [ -e "logs/stamps/$base.done" ] && continue
+    [ -e "logs/stamps/$base.skipped" ] && continue
+    next="$s"; break
+  done
+  if [ -z "$next" ]; then
+    echo "[r3] queue empty $(date -u +%H:%M:%S); sleeping 300s (new stages may appear)"
+    sleep 300
+    continue
+  fi
+  base=$(basename "$next" .sh)
+  tries_f="logs/stamps/$base.tries"
+  tries=$(cat "$tries_f" 2>/dev/null || echo 0)
+  echo "[r3] >>> stage $base (try $((tries + 1))) $(date -u +%H:%M:%S)"
+  if bash "$next"; then
+    touch "logs/stamps/$base.done"
+    echo "[r3] <<< stage $base DONE $(date -u +%H:%M:%S)"
+  else
+    rc=$?
+    tries=$((tries + 1)); echo "$tries" > "$tries_f"
+    echo "[r3] stage $base FAILED rc=$rc (try $tries) $(date -u +%H:%M:%S)"
+    if [ "$tries" -ge "$MAX_TRIES" ]; then
+      touch "logs/stamps/$base.skipped"
+      echo "[r3] stage $base parked as .skipped after $tries tries"
+    else
+      sleep 60
+    fi
+  fi
+done
