@@ -6,5 +6,8 @@
 # export in watched_attempt persists every ~30 min of progress.
 . "$(dirname "$0")/../r3_lib.sh"
 STEPS_SMOKE=${STEPS_SMOKE:-100000}
-DEADLINE_EPOCH=$(( $(date +%s) + ${SMOKE_TRAIN_BUDGET_S:-16200} ))
+# 3.5 h budget: at the measured ~7 steps/s this is ~85-100k steps; the
+# deadline guarantees the guided eval + Burgers super stages behind it get
+# chip time before round end (the r2 failure mode was a starved queue tail)
+DEADLINE_EPOCH=$(( $(date +%s) + ${SMOKE_TRAIN_BUDGET_S:-12600} ))
 train_to base_control_smoke train-smoke --ema_only "$STEPS_SMOKE" --data data/2d

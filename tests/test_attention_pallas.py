@@ -170,3 +170,34 @@ def test_attention_module_native_video_matches_transposed_module():
     out_s = seq.apply(params, xs, bias)
     out_s = out_s.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
     np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_s), atol=3e-5)
+
+
+def test_head_grouped_temporal_attention_parity(monkeypatch):
+    """WDNO_TAN_HG=1 (head-grouped score matmuls) must match the per-head
+    kernel exactly, fwd and grads (it is a measured A/B alternative)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import wdno_tpu.ops.attention_pallas as AP
+
+    B, F, H, W, heads, dh = 2, 6, 4, 8, 4, 8
+    hd = heads * dh
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((B, F, H, W, 3 * hd)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, F, F)), jnp.float32)
+
+    def loss(qkv, bias):
+        return jnp.sum(jnp.square(AP.temporal_attention_native(
+            qkv, bias, heads=heads, dim_head=dh, scale=dh ** -0.5)))
+
+    monkeypatch.setenv("WDNO_TAN_HG", "0")
+    o0 = AP.temporal_attention_native(qkv, bias, heads=heads, dim_head=dh,
+                                      scale=dh ** -0.5)
+    g0 = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    monkeypatch.setenv("WDNO_TAN_HG", "1")
+    o1 = AP.temporal_attention_native(qkv, bias, heads=heads, dim_head=dh,
+                                      scale=dh ** -0.5)
+    g1 = jax.grad(loss, argnums=(0, 1))(qkv, bias)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]), atol=2e-4)

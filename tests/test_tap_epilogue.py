@@ -1,0 +1,71 @@
+"""Tap-sum/tap-pack Pallas epilogues vs the jnp oracle path, and the
+bias-carrying packed conv against XLA's native conv3d (incl. all grads)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from wdno_tpu.ops import conv3d_packed as cp
+from wdno_tpu.ops.tap_epilogue import tap_pack, tap_sum
+
+
+@pytest.mark.parametrize("kd", [3, 5])
+def test_tap_sum_matches_jnp_oracle(kd):
+    rng = np.random.default_rng(0)
+    B, F, H, W, co = 2, 6, 8, 8, 16
+    y = jnp.asarray(rng.standard_normal((B * F, H, W, kd * co)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+    ref = cp._taps_to_frames(y, kd, co, F) + bias
+    out = tap_sum(y, bias, kd=kd, co=co, f=F)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_tap_pack_matches_shift_frames_concat():
+    rng = np.random.default_rng(1)
+    B, F, H, W, co, kd = 2, 5, 8, 8, 16, 3
+    g = jnp.asarray(rng.standard_normal((B, F, H, W, co)), jnp.float32)
+    ctr = kd // 2
+    ref = jnp.concatenate(
+        [cp._shift_frames(g, ctr - dt) for dt in range(kd)], axis=-1
+    ).reshape(B * F, H, W, kd * co)
+    out = tap_pack(g.reshape(B * F, H, W, co), kd=kd, co=co, f=F)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_tap_sum_pack_adjoint():
+    rng = np.random.default_rng(2)
+    BF, H, W, kd, co, F = 10, 4, 4, 3, 8, 5
+    y = jnp.asarray(rng.standard_normal((BF, H, W, kd * co)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((BF, H, W, co)), jnp.float32)
+    lhs = jnp.vdot(tap_sum(y, None, kd=kd, co=co, f=F), g)
+    rhs = jnp.vdot(y, tap_pack(g, kd=kd, co=co, f=F))
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-5)
+
+
+@pytest.mark.parametrize("epilogue", ["0", "1"])
+def test_packed_conv3d_bias_and_grads_vs_native(epilogue, monkeypatch):
+    monkeypatch.setenv("WDNO_TAP_EPILOGUE", epilogue)
+    rng = np.random.default_rng(3)
+    B, F, H, W, ci, co, kd = 2, 5, 8, 8, 6, 16, 3
+    x = jnp.asarray(rng.standard_normal((B, F, H, W, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kd, 3, 3, ci, co)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+
+    def native(x, k, b):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, k.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME", dimension_numbers=dn) + b
+
+    g = jnp.asarray(rng.standard_normal((B, F, H, W, co)), jnp.float32)
+    ref = jax.value_and_grad(
+        lambda x, k, b: jnp.vdot(native(x, k, b), g), argnums=(0, 1, 2))(x, k, bias)
+    new = jax.value_and_grad(
+        lambda x, k, b: jnp.vdot(cp.packed_conv3d(x, k, b), g),
+        argnums=(0, 1, 2))(x, k, bias)
+    np.testing.assert_allclose(float(new[0]), float(ref[0]), rtol=1e-4)
+    for a, b in zip(new[1], ref[1]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4,
+            atol=2e-4 * float(jnp.abs(b).max()))

@@ -129,10 +129,9 @@ class TemporalDecompConv3d(nn.Module):
         ):
             from ..ops.conv3d_packed import packed_conv3d
 
-            out = packed_conv3d(x.astype(self.dtype), jnp.asarray(kernel, self.dtype))
-            if self.use_bias:
-                out = out + jnp.asarray(bias, self.dtype)
-            return out
+            return packed_conv3d(
+                x.astype(self.dtype), jnp.asarray(kernel, self.dtype),
+                jnp.asarray(bias, self.dtype) if self.use_bias else None)
         use_decomp = (
             env == "1"
             or (env in ("large-k", "vjp") and kd >= 7)

@@ -29,7 +29,8 @@ end-to-end, vs the full packing here.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,17 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 __all__ = ["packed_conv3d"]
+
+
+def _use_epilogue() -> bool:
+    """Single-pass Pallas tap-sum/pack epilogues (:mod:`.tap_epilogue`)
+    instead of the slice+pad+add chains below.  Default: on-TPU only (the
+    jnp path stays the CPU/test oracle); WDNO_TAP_EPILOGUE=0 forces it off
+    everywhere, =1 on everywhere (interpret mode off-TPU)."""
+    env = os.environ.get("WDNO_TAP_EPILOGUE", "auto")
+    if env == "0":
+        return False
+    return env == "1" or jax.default_backend() == "tpu"
 
 
 def _conv2d(xf: Array, k2: Array) -> Array:
@@ -85,54 +97,72 @@ def _shift_frames(t: Array, off: int) -> Array:
                          (0, 0), (0, 0), (0, 0)))
 
 
-def _fwd_impl(x: Array, k: Array) -> Array:
+def _fwd_impl(x: Array, k: Array, bias: Optional[Array]) -> Array:
     kd, kh, kw, ci, co = k.shape
     b, f, h, w, _ = x.shape
     k2 = k.transpose(1, 2, 3, 0, 4).reshape(kh, kw, ci, kd * co)
     y = _conv2d(x.reshape(b * f, h, w, ci), k2)
-    return _taps_to_frames(y, kd, co, f).reshape(b, f, h, w, co)
+    if _use_epilogue():
+        from .tap_epilogue import tap_sum
+
+        out = tap_sum(y, None if bias is None else bias.astype(y.dtype),
+                      kd=kd, co=co, f=f)
+    else:
+        out = _taps_to_frames(y, kd, co, f)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+    return out.reshape(b, f, h, w, co)
 
 
 @jax.custom_vjp
-def packed_conv3d(x: Array, k: Array) -> Array:
-    """``conv3d(x, k)``, SAME padding, stride 1, odd ``kd`` — all three
-    constituent convolutions lane-packed over the temporal taps.
+def packed_conv3d(x: Array, k: Array, bias: Optional[Array] = None) -> Array:
+    """``conv3d(x, k) + bias``, SAME padding, stride 1, odd ``kd`` — all
+    three constituent convolutions lane-packed over the temporal taps, the
+    tap-sum/bias epilogue fused into one Pallas pass on TPU.
 
-    x: ``[B, F, H, W, Ci]``; k: ``[kd, kh, kw, Ci, Co]`` (same dtype as x).
+    x: ``[B, F, H, W, Ci]``; k: ``[kd, kh, kw, Ci, Co]`` (same dtype as x);
+    bias: optional ``[Co]``.
     """
-    return _fwd_impl(x, k)
+    return _fwd_impl(x, k, bias)
 
 
-def _pc_fwd(x, k):
-    return _fwd_impl(x, k), (x, k)
+def _pc_fwd(x, k, bias):
+    return _fwd_impl(x, k, bias), (x, k, bias is not None)
 
 
 def _pc_bwd(res, g):
-    x, k = res
+    x, k, has_bias = res
     kd, kh, kw, ci, co = k.shape
     b, f, h, w, _ = x.shape
+    epilogue = _use_epilogue()
     # dx: reversed kernel, output lanes packed over kd*ci
     krev = k[::-1, ::-1, ::-1]
     kdx = krev.transpose(1, 2, 4, 0, 3).reshape(kh, kw, co, kd * ci)
     gf = g.reshape(b * f, h, w, co)
     dxp = _conv2d(gf, kdx)
-    dx = _taps_to_frames(dxp, kd, ci, f).reshape(b, f, h, w, ci)
-    # dW: weight-grad of the packed forward conv (kd*co output lanes)
-    # against the tap-scattered cotangent.  The scatter shifts along the
-    # 5D frame axis — dim 1 is untiled, so these are cheap DMA copies;
-    # shifting the flat conv-batch rows instead fought the (8,128) sublane
-    # tiling (~1.3 ms per level-0 conv), and XLA's native 3D wgrad
-    # measured slightly worse end-to-end (7.43 vs 7.56 steps/s).
-    ctr = kd // 2
-    gp5 = jnp.concatenate([_shift_frames(g, ctr - dt) for dt in range(kd)],
-                          axis=-1)
-    gpack = gp5.reshape(b * f, h, w, kd * co)
+    if epilogue:
+        from .tap_epilogue import tap_pack, tap_sum
+
+        dx = tap_sum(dxp, None, kd=kd, co=ci, f=f).reshape(b, f, h, w, ci)
+        gpack = tap_pack(gf, kd=kd, co=co, f=f)
+    else:
+        dx = _taps_to_frames(dxp, kd, ci, f).reshape(b, f, h, w, ci)
+        # dW cotangent scatter: shifts along the 5D frame axis — dim 1 is
+        # untiled, so these are cheap DMA copies; shifting the flat
+        # conv-batch rows instead fought the (8,128) sublane tiling
+        # (~1.3 ms per level-0 conv), and XLA's native 3D wgrad measured
+        # slightly worse end-to-end (7.43 vs 7.56 steps/s).
+        ctr = kd // 2
+        gp5 = jnp.concatenate(
+            [_shift_frames(g, ctr - dt) for dt in range(kd)], axis=-1)
+        gpack = gp5.reshape(b * f, h, w, kd * co)
     k2 = k.transpose(1, 2, 3, 0, 4).reshape(kh, kw, ci, kd * co)
     xf = x.reshape(b * f, h, w, ci)
     _, wgrad = jax.vjp(lambda kk: _conv2d(xf, kk), k2)
     dk2, = wgrad(gpack)
     dk = dk2.reshape(kh, kw, ci, kd, co).transpose(3, 0, 1, 2, 4)
-    return dx, dk
+    dbias = g.sum(axis=(0, 1, 2, 3)) if has_bias else None
+    return dx, dk, dbias
 
 
 packed_conv3d.defvjp(_pc_fwd, _pc_bwd)
