@@ -29,7 +29,6 @@ def bench(fn, x, iters=20):
 def main():
     from wdno_tpu.ops import wavelet as Wc
     from wdno_tpu.ops import wavelet_fast as Wm
-    from wdno_tpu.ops import wavelet_pallas as Wp
 
     rng = np.random.default_rng(0)
     print("backend:", jax.default_backend())
@@ -40,9 +39,8 @@ def main():
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         conv = jax.jit(lambda v: Wc.dwt2d(v, wave, mode))
         matm = jax.jit(lambda v: Wm.dwt2d(v, wave, mode))
-        fused = lambda v: Wp.dwt2d_fused(v, wave, mode)
         print(f"shape {shape} {wave}/{mode}:")
-        for name, fn in (("conv", conv), ("matmul", matm), ("pallas", fused)):
+        for name, fn in (("conv", conv), ("matmul", matm)):
             try:
                 ms, gbs = bench(fn, x)
                 print(f"  {name:>7}: {ms:8.2f} ms   {gbs:7.1f} GB/s")

@@ -8,6 +8,12 @@
 STEPS_SMOKE=${STEPS_SMOKE:-100000}
 # 3.5 h budget: at the measured ~7 steps/s this is ~85-100k steps; the
 # deadline guarantees the guided eval + Burgers super stages behind it get
-# chip time before round end (the r2 failure mode was a starved queue tail)
+# chip time before round end (the r2 failure mode was a starved queue tail).
+# Also capped at round_end - 80 min so the 50-scene guided eval (S5) always
+# fits even when datagen ate more of the round than planned.
 DEADLINE_EPOCH=$(( $(date +%s) + ${SMOKE_TRAIN_BUDGET_S:-12600} ))
+if [ -e logs/r3_round_end ]; then
+  cap=$(( $(cat logs/r3_round_end) - 4800 ))
+  [ "$cap" -lt "$DEADLINE_EPOCH" ] && DEADLINE_EPOCH=$cap
+fi
 train_to base_control_smoke train-smoke --ema_only "$STEPS_SMOKE" --data data/2d

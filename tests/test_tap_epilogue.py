@@ -33,6 +33,28 @@ def test_tap_pack_matches_shift_frames_concat():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+def test_tap_sum_pack_block_grid_interior_halos():
+    """n large enough that the v2 block path runs a multi-step grid, so the
+    single-row halo reads cross block boundaries (and frame boundaries land
+    in block interiors)."""
+    rng = np.random.default_rng(7)
+    B, F, H, W, co, kd = 8, 6, 8, 8, 16, 3  # n=48 -> nb=16, grid 3
+    n = B * F
+    y = jnp.asarray(rng.standard_normal((n, H, W, kd * co)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(tap_sum(y, bias, kd=kd, co=co, f=F)),
+        np.asarray(cp._taps_to_frames(y, kd, co, F) + bias), atol=1e-6)
+    g = jnp.asarray(rng.standard_normal((B, F, H, W, co)), jnp.float32)
+    ctr = kd // 2
+    ref = jnp.concatenate(
+        [cp._shift_frames(g, ctr - dt) for dt in range(kd)], axis=-1
+    ).reshape(n, H, W, kd * co)
+    np.testing.assert_allclose(
+        np.asarray(tap_pack(g.reshape(n, H, W, co), kd=kd, co=co, f=F)),
+        np.asarray(ref), atol=1e-6)
+
+
 def test_tap_sum_pack_adjoint():
     rng = np.random.default_rng(2)
     BF, H, W, kd, co, F = 10, 4, 4, 3, 8, 5

@@ -1,4 +1,4 @@
-"""Matrix-form + Pallas wavelet paths must match the conv reference exactly."""
+"""Matrix-form wavelet path must match the conv reference exactly."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -6,7 +6,6 @@ import pytest
 
 from wdno_tpu.ops import wavelet as Wref
 from wdno_tpu.ops import wavelet_fast as Wf
-from wdno_tpu.ops import wavelet_pallas as Wp
 
 
 @pytest.mark.parametrize("wave,mode,n", [
@@ -48,27 +47,3 @@ def test_matrix_matches_conv_2d_3d():
     np.testing.assert_allclose(
         np.asarray(y3)[:, :16, :32, :32], np.asarray(x3), atol=1e-4
     )
-
-
-def test_pallas_fused_matches_conv_2d():
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal((5, 2, 64, 64)), jnp.float32)
-    aa0, det0 = Wref.dwt2d(x, "bior2.4", "periodization")
-    aa1, det1 = Wp.dwt2d_fused(x, "bior2.4", "periodization", tile=4)
-    np.testing.assert_allclose(np.asarray(aa1), np.asarray(aa0), atol=2e-5)
-    for b0, b1 in zip(det0, det1):
-        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-5)
-
-    y0 = Wref.idwt2d(aa0, det0, "bior2.4", "periodization")
-    y1 = Wp.idwt2d_fused(aa0, det0, "bior2.4", "periodization", tile=4)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=2e-5)
-
-
-def test_pallas_fused_zero_mode():
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((3, 64, 64)), jnp.float32)
-    aa0, det0 = Wref.dwt2d(x, "bior1.3", "zero")
-    aa1, det1 = Wp.dwt2d_fused(x, "bior1.3", "zero", tile=2)
-    np.testing.assert_allclose(np.asarray(aa1), np.asarray(aa0), atol=2e-5)
-    for b0, b1 in zip(det0, det1):
-        np.testing.assert_allclose(np.asarray(b1), np.asarray(b0), atol=2e-5)

@@ -12,8 +12,11 @@ The analysis/synthesis matrices are derived *from the conv implementation
 itself* (applied to an identity batch), so exactness is inherited from the
 oracle-tested path; they are cached per (wave, n, mode).
 
-:mod:`.wavelet_pallas` builds on these matrices for the fully fused
-single-VMEM-residency kernel.
+A fully fused single-VMEM-residency Pallas kernel built on these matrices
+was benchmarked and REMOVED in round 3: at the framework's canonical shapes
+the transforms are microseconds of MXU work where dispatch overhead
+dominates, and the kernel never beat this matrix path (see RESULTS.md,
+"wavelet kernel A/B").
 """
 
 from __future__ import annotations
