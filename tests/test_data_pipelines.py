@@ -71,6 +71,22 @@ def test_smoke_coef_and_states_time_and_space():
         assert st_s.shape[-1] == 82
 
 
+def test_build_smoke_coef_batch_invariant():
+    """Coefficients must not depend on the streaming batch size (the prep
+    was rewritten to stream into preallocated outputs after the 10k-scene
+    train split OOM-killed the concatenating version)."""
+    fields = _fake_fields(n=5)
+    for ds in ("time", "space"):
+        a = build_smoke_coef(fields, n_downsample=2, downsample_type=ds, batch=2)
+        b = build_smoke_coef(fields, n_downsample=2, downsample_type=ds, batch=100)
+        for k in ("coef", "init", "smokeout"):
+            for x, y in zip(a[k], b[k]):
+                # ULP-level tolerance only: XLA's matmul blocking (and hence
+                # accumulation order) legitimately varies with batch shape.
+                np.testing.assert_allclose(x, y, rtol=0, atol=1e-5)
+        assert a["shape"] == b["shape"] and a["ori_shape"] == b["ori_shape"]
+
+
 def test_build_smoke_states_chunk_invariant():
     """States must not depend on the memory-bounding chunk size."""
     fields = _fake_fields(n=7)

@@ -627,7 +627,7 @@ def cmd_prep_smoke(args):
 
     z = np.load(os.path.join(args.data, f"{args.split}.npz"))
     fields = {k: z[k] for k in z.files}
-    for ds_type in ("time", "space"):
+    for ds_type in args.types.split(","):
         db = build_smoke_coef(
             fields, wave_type=args.wave_type, pad_mode=args.pad_mode,
             n_downsample=args.n_downsample, downsample_type=ds_type,
@@ -1378,6 +1378,8 @@ def _build_parser():
     p.add_argument("--wave_type", type=str, default="bior1.3")
     p.add_argument("--pad_mode", type=str, default="zero")
     p.add_argument("--n_downsample", type=int, default=3)
+    p.add_argument("--types", type=str, default="time,space",
+                   help="comma-separated downsample families to prep")
     p.set_defaults(fn=cmd_prep_smoke)
 
     p = _add_common(sub.add_parser("train-smoke"))

@@ -304,44 +304,61 @@ def build_smoke_coef(
     Returns {"coef": [N, nt', nx', nx', 40] per level, "init": [N, nx',
     nx', 4] per level, "smokeout": [N, ns', 2] per level, "shape", "ori_shape"}.
     """
-    d = fields["Density"][:, :num_frames]
-    v = fields["Velocity"][:, :num_frames]
-    c = fields["Control"][:, :num_frames]
+    d = fields["Density"]
+    v = fields["Velocity"]
+    c = fields["Control"]
     s = fields["Smoke"][:, :num_frames]
-    s_ratio = s[:, :, 1] / s.sum(-1)
-
-    X = np.stack(
-        [d, v[..., 0], v[..., 1], c[..., 0], c[..., 1]], axis=1
-    )  # [N, 5, F, H, W]
-    N = X.shape[0]
+    s_ratio = (s[:, :, 1] / s.sum(-1)).astype(np.float32)
+    N = d.shape[0]
 
     dwt3 = jax.jit(lambda x: P.pack3d(*W.dwt3d(x, wave_type, pad_mode)))
     dwt2 = jax.jit(lambda x: P.pack2d(*W.dwt2d(x, wave_type, pad_mode)))
     dwt1 = jax.jit(lambda x: jnp.stack(W.dwt1d(x, wave_type, pad_mode), axis=-1))
 
+    # Stream per-sim chunks straight into preallocated per-level outputs.
+    # The concatenating version held the full [N,5,F,H,W] stack plus every
+    # per-batch coefficient slice in Python lists — for the 10k-scene
+    # reference-budget train split that peaked well past host RAM and was
+    # OOM-killed; this version's peak is fields + the output arrays.
     out = {"coef": [], "init": [], "smokeout": [], "shape": [], "ori_shape": []}
     for i in range(n_downsample):
-        if downsample_type == "time":
-            Xs = X[:, :, :: 2**i]
-            ss = s_ratio[:, :: 2**i]
-        else:
-            Xs = X[:, :, :, :: 2**i, :: 2**i]
-            ss = s_ratio
-        coefs, inits, smokes = [], [], []
         for j in range(0, N, batch):
-            chunk = jnp.asarray(Xs[j : j + batch])
+            sl = slice(j, min(j + batch, N))
+            X = np.stack(
+                [
+                    d[sl, :num_frames],
+                    v[sl, :num_frames, ..., 0],
+                    v[sl, :num_frames, ..., 1],
+                    c[sl, :num_frames, ..., 0],
+                    c[sl, :num_frames, ..., 1],
+                ],
+                axis=1,
+            ).astype(np.float32)  # [b, 5, F, H, W]
+            if downsample_type == "time":
+                Xs = X[:, :, :: 2**i]
+                ss = s_ratio[sl, :: 2**i]
+            else:
+                Xs = X[:, :, :, :: 2**i, :: 2**i]
+                ss = s_ratio[sl]
+            chunk = jnp.asarray(Xs)
             packed = np.asarray(dwt3(chunk))  # [b, 5, ft, fh, fw, 8]
-            b = packed.shape[0]
-            coefs.append(
-                packed.transpose(0, 2, 3, 4, 1, 5).reshape(packed.shape[0], *packed.shape[2:5], 40)
-            )
-            inits.append(np.asarray(dwt2(chunk[:, 0, 0])))  # [b, h', w', 4]
-            smokes.append(np.asarray(dwt1(jnp.asarray(ss[j : j + batch]))))  # [b, ns', 2]
-        out["coef"].append(np.concatenate(coefs))
-        out["init"].append(np.concatenate(inits))
-        out["smokeout"].append(np.concatenate(smokes))
-        out["shape"].append(list(out["coef"][-1].shape[1:4]))
-        out["ori_shape"].append(list(Xs.shape[2:]))
+            cj = np.ascontiguousarray(
+                packed.transpose(0, 2, 3, 4, 1, 5)
+            ).reshape(packed.shape[0], *packed.shape[2:5], 40)
+            ij = np.asarray(dwt2(chunk[:, 0, 0]))  # [b, h', w', 4]
+            sj = np.asarray(dwt1(jnp.asarray(ss)))  # [b, ns', 2]
+            if j == 0:
+                out["coef"].append(
+                    np.empty((N,) + cj.shape[1:], np.float32))
+                out["init"].append(
+                    np.empty((N,) + ij.shape[1:], np.float32))
+                out["smokeout"].append(
+                    np.empty((N,) + sj.shape[1:], np.float32))
+                out["shape"].append(list(cj.shape[1:4]))
+                out["ori_shape"].append(list(Xs.shape[2:]))
+            out["coef"][i][sl] = cj
+            out["init"][i][sl] = ij
+            out["smokeout"][i][sl] = sj
     return out
 
 
