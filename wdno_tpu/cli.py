@@ -694,18 +694,29 @@ def cmd_train_smoke(args):
     path = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_train.npz")
     z = np.load(path)
     n = int(z["n_levels"])
-    db = {
-        "coef": [z[f"coef_{i}"] for i in range(n)],
-        "init": [z[f"init_{i}"] for i in range(n)],
-        "smokeout": [z[f"smokeout_{i}"] for i in range(n)],
-        "shape": z["shape"].tolist(),
-        "ori_shape": z["ori_shape"].tolist(),
-    }
-    rescaler = smoke_wavelet_rescaler(args.wave_type, is_super_model=args.super_model)
     maxn = getattr(args, "max_train_samples", None)
-    if maxn:  # cap scenes (e.g. to keep multi-level super states in HBM)
-        for k in ("coef", "init", "smokeout"):
-            db[k] = [a[:maxn] for a in db[k]]
+    db = None
+
+    def load_db():
+        # Deferred: the full coefficient arrays are tens of GB for the
+        # reference-budget split and are only needed when a states cache is
+        # missing — a trainer resume must not pay minutes of npz decompress
+        # just to re-read shapes that z["shape"] already stores.
+        nonlocal db
+        if db is None:
+            db = {
+                "coef": [z[f"coef_{i}"] for i in range(n)],
+                "init": [z[f"init_{i}"] for i in range(n)],
+                "smokeout": [z[f"smokeout_{i}"] for i in range(n)],
+                "shape": z["shape"].tolist(),
+                "ori_shape": z["ori_shape"].tolist(),
+            }
+            if maxn:  # cap scenes (e.g. to keep multi-level super states in HBM)
+                for k in ("coef", "init", "smokeout"):
+                    db[k] = [a[:maxn] for a in db[k]]
+        return db
+
+    rescaler = smoke_wavelet_rescaler(args.wave_type, is_super_model=args.super_model)
     levels = list(range(args.n_downsample)) if args.super_model else [0]
     tag = "_".join([
         args.wave_type, args.pad_mode, ds_type,
@@ -716,12 +727,13 @@ def cmd_train_smoke(args):
         cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
         if not os.path.exists(cache):
             st, _, _ = build_smoke_states(
-                db, level=lvl, is_super_model=args.super_model,
+                load_db(), level=lvl, is_super_model=args.super_model,
                 downsample_type=ds_type, rescaler=rescaler,
             )
             np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
             del st
-        shape = list(db["coef"][lvl].shape[1:4])
+        shape = list(np.asarray(z["shape"])[lvl])
+        shape = [int(v) for v in shape]
         _, _, full_shape, _ = parse_npy_header(cache)
         bump = (0, 2, 2) if args.condition_control else (2, 0, 0)
         cs = [shape[i] + (bump[i] if args.super_model else 0) for i in range(3)]
