@@ -671,6 +671,9 @@ def cmd_train_smoke(args):
             st = build_smoke_raw_states({k: z[k] for k in z.files})
             np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
             del st
+        if getattr(args, "states_only", False):
+            print("states cache ready; exiting (--states_only)")
+            return
         _, _, full_shape, _ = parse_npy_header(cache)
         spec = smoke_spec(full_shape[1:], full_shape[1:4], is_wavelet=False,
                           is_condition_control=args.condition_control,
@@ -745,6 +748,10 @@ def cmd_train_smoke(args):
         shard_paths.append(cache)
         state_shapes.append(full_shape[1:])
         print(f"level {lvl}: shard {cache} {full_shape}")
+
+    if getattr(args, "states_only", False):
+        print("states caches ready; exiting (--states_only)")
+        return
 
     C = state_shapes[0][-1]
     model = UNet3D(dim=args.dim, dim_mults=tuple(args.dim_mults), channels=C,
@@ -1417,6 +1424,12 @@ def _build_parser():
     p.add_argument("--max_train_samples", type=int, default=None,
                    help="cap training scenes (keeps multi-level super states "
                         "inside the device-resident input budget)")
+    p.add_argument("--states_only", action="store_true",
+                   help="build the states_*.npy training caches then exit "
+                        "(run under JAX_PLATFORMS=cpu as a prep stage: the "
+                        "build is trivial pad/concat work, and routing its "
+                        "33 GB of chunks through the tunneled TPU starved "
+                        "the r3 training stage of its whole chip window)")
     p.add_argument("--bf16", type=lambda s: s == "True", default=True)
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--ckpt_every", type=int, default=10000)
