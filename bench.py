@@ -63,15 +63,28 @@ def _wait_for_device(max_wait_s=None, poll_s=30):
     deadline = time.time() + max_wait_s
     cached_printed = False
     while True:
+        # No pipes and an intermediate `timeout -s KILL`: with the tunnel
+        # dead the probe python can wedge in UNINTERRUPTIBLE (D-state) vsock
+        # I/O — it then can't be killed OR reaped, so a plain subprocess.run
+        # blocks forever in its post-kill wait()/pipe-drain and bench never
+        # reaches its own deadline (observed live at r3 close).  Killing the
+        # `timeout` wrapper always succeeds; a D-state grandchild is simply
+        # orphaned.
+        probe = subprocess.Popen(
+            ["timeout", "-s", "KILL", "80",
+             sys.executable, "-c", "import jax; jax.devices()[0]"],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
         try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()[0]"],
-                timeout=90, capture_output=True,
-            )
-            if r.returncode == 0:
+            if probe.wait(timeout=90) == 0:
                 return True
         except subprocess.TimeoutExpired:
-            pass
+            probe.kill()
+            try:
+                probe.wait(timeout=5)
+            except subprocess.TimeoutExpired:
+                pass
         if not cached_printed:
             cached_printed = _print_cached("_cached_chip_unreachable")
         if time.time() > deadline:
@@ -165,8 +178,23 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
     _wait_for_device()
+
+    # Self-deadline: a half-alive tunnel can pass the devices() probe yet
+    # wedge the first real device program indefinitely (observed at r3
+    # close after a client died mid-transfer).  The driver's own timeout
+    # then yields rc=124 with no fresh line — so bail out from inside,
+    # flushing the cached record, well before any plausible driver budget.
+    def _on_alarm(*_):
+        print("bench: self-deadline hit mid-measure (wedged chip or cold-"
+              "compile overrun) — emitting cached record", file=sys.stderr)
+        _print_cached("_cached_measure_deadline")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(int(os.environ.get("WDNO_BENCH_SELFKILL_S", "420")))
     try:
         _measure()
+        signal.alarm(0)
     except SystemExit as e:
         # SystemExit(143) = SIGTERM delivered inside _PauseCampaign (whose
         # handler must raise so the paused campaign gets SIGCONTed on unwind)
