@@ -105,6 +105,22 @@ _CAMPAIGN_PIDFILES = (
 )
 
 
+# process groups currently SIGSTOPped by a live _PauseCampaign — consulted
+# by handlers that hard-exit (os._exit skips __exit__, and a paused trainer
+# left stopped would freeze the whole campaign queue)
+_PAUSED_PGIDS = []
+
+
+def _resume_paused():
+    import signal
+
+    for pgid in list(_PAUSED_PGIDS):
+        try:
+            os.killpg(pgid, signal.SIGCONT)
+        except (ProcessLookupError, PermissionError):
+            pass
+
+
 class _PauseCampaign:
     """SIGSTOP the long-running campaign process groups for the duration of
     the measurement (SIGCONT on exit, even on crash).
@@ -147,6 +163,7 @@ class _PauseCampaign:
             try:
                 os.killpg(pgid, signal.SIGSTOP)
                 self.pgids.append(pgid)
+                _PAUSED_PGIDS.append(pgid)
             except (ProcessLookupError, PermissionError):
                 pass
         if self.pgids:
@@ -161,6 +178,8 @@ class _PauseCampaign:
                 os.killpg(pgid, signal.SIGCONT)
             except (ProcessLookupError, PermissionError):
                 pass
+            if pgid in _PAUSED_PGIDS:
+                _PAUSED_PGIDS.remove(pgid)
         signal.signal(signal.SIGTERM, self._prev_sigterm)
         if self.pgids:
             print(f"bench: resumed campaign groups {self.pgids}", file=sys.stderr)
@@ -173,6 +192,7 @@ def main():
     # A driver-side `timeout` sends SIGTERM; never die silently — flush the
     # cached record first so the round always has a parseable number.
     def _on_term(*_):
+        _resume_paused()
         _print_cached("_cached_interrupted")
         os._exit(0)
 
@@ -187,6 +207,7 @@ def main():
     def _on_alarm(*_):
         print("bench: self-deadline hit mid-measure (wedged chip or cold-"
               "compile overrun) — emitting cached record", file=sys.stderr)
+        _resume_paused()
         _print_cached("_cached_measure_deadline")
         os._exit(0)
 
