@@ -110,3 +110,12 @@ train_to() {
   save_results "$exp"
   commit_artifacts "campaign: $exp training milestone exported"
 }
+
+# round-end epoch: generic logs/round_end wins; the r3 name is the fallback
+# so round-4+ sessions only have to write logs/round_end once
+round_end_epoch() {
+  if [ -e logs/round_end ]; then cat logs/round_end
+  elif [ -e logs/r3_round_end ]; then cat logs/r3_round_end
+  else echo ""
+  fi
+}

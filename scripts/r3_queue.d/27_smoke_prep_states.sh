@@ -6,13 +6,15 @@
 # build is trivial pad/concat/divide work (reference data_2d.py:156-221);
 # under JAX_PLATFORMS=cpu it never touches the tunnel and frees the chip
 # for whatever stage runs next.  Needs no TPU: safe to run concurrently
-# with a chip-bound stage via the CONCURRENT=1 runner hook.
+# with a chip-bound stage.
 . "$(dirname "$0")/../r3_lib.sh"
 set -e
-# base control model: condition_control=True -> "space" coefficient file
-JAX_PLATFORMS=cpu python -m wdno_tpu.cli train-smoke --states_only \
-    --data data/2d --condition_control True
-# base sim model: "time" coefficient file (hardlinked to the same level-0 npz)
+# base CONTROL model (guidance target): unconditioned, "time" downsample
+# (reference train_2d.py: is_condition_control=False for the control model)
 JAX_PLATFORMS=cpu python -m wdno_tpu.cli train-smoke --states_only \
     --data data/2d
+# base SIM model: conditioned on control, "space" downsample
+# (reference train_2d.py:60)
+JAX_PLATFORMS=cpu python -m wdno_tpu.cli train-smoke --states_only \
+    --data data/2d --condition_control True
 ls -la data/2d/states_*.npy

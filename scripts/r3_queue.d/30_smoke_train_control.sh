@@ -12,8 +12,15 @@ STEPS_SMOKE=${STEPS_SMOKE:-100000}
 # Also capped at round_end - 80 min so the 50-scene guided eval (S5) always
 # fits even when datagen ate more of the round than planned.
 DEADLINE_EPOCH=$(( $(date +%s) + ${SMOKE_TRAIN_BUDGET_S:-12600} ))
-if [ -e logs/r3_round_end ]; then
-  cap=$(( $(cat logs/r3_round_end) - 4800 ))
+re=$(round_end_epoch)
+if [ -n "$re" ]; then
+  cap=$(( re - 4800 ))
   [ "$cap" -lt "$DEADLINE_EPOCH" ] && DEADLINE_EPOCH=$cap
+fi
+# the r3 failure mode: without this cache the trainer rebuilds it through
+# the TPU tunnel and burns the whole stage window before step 1 — insist
+# that stage 27 (CPU states prep) ran first
+if [ ! -e data/2d/states_bior1.3_zero_time_base_lvl0.npy ]; then
+  echo "[r3] states cache missing — run stage 27 (CPU prep) first"; exit 1
 fi
 train_to base_control_smoke train-smoke --ema_only "$STEPS_SMOKE" --data data/2d

@@ -21,6 +21,10 @@ for ((s = 0; s < 50; s += 10)); do
   done
   [ "$ok" = 1 ] || echo "[r3 smoke ctrl chunk $s] giving up"
 done
+ls results/base_control_smoke/eval_raw_control_*.npz >/dev/null 2>&1 || {
+  echo "[r3] smoke control eval produced NO chunks — failing the stage"
+  exit 1
+}
 python -m wdno_tpu.cli aggregate-eval --results results --exp base_control_smoke --task control
 save_results base_control_smoke
 commit_artifacts "campaign: smoke control eval results"

@@ -5,9 +5,10 @@
 # export persists every ~30 min (this model has been lost twice — VERDICT #3).
 . "$(dirname "$0")/../r3_lib.sh"
 STEPS_SUPER=${STEPS_SUPER:-250000}
-if [ -e logs/r3_round_end ]; then
+re=$(round_end_epoch)
+if [ -n "$re" ]; then
   # leave 50 min for the SR-chain eval
-  DEADLINE_EPOCH=$(( $(cat logs/r3_round_end) - 3000 ))
+  DEADLINE_EPOCH=$(( re - 3000 ))
 else
   DEADLINE_EPOCH=$(( $(date +%s) + 7200 ))
 fi

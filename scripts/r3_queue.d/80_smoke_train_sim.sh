@@ -4,10 +4,14 @@
 # eval on the fixed test split (contamination-free mse/n_l2, VERDICT r2 #2).
 # Runs only if chip time remains after the Burgers super chain.
 . "$(dirname "$0")/../r3_lib.sh"
-if [ -e logs/r3_round_end ]; then
-  DEADLINE_EPOCH=$(( $(cat logs/r3_round_end) - 2400 ))
+re=$(round_end_epoch)
+if [ -n "$re" ]; then
+  DEADLINE_EPOCH=$(( re - 2400 ))
 else
   DEADLINE_EPOCH=$(( $(date +%s) + 3600 ))
+fi
+if [ ! -e data/2d/states_bior1.3_zero_space_base_lvl0.npy ]; then
+  echo "[r3] space states cache missing — run stage 27 (CPU prep) first"; exit 1
 fi
 if [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; then
   echo "[r3] no time left for the smoke sim model this round"; exit 0
