@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# B1: Burgers wavelet prep (data/1d train/test persisted from earlier in the
+# round; the coef npz did not) + import the committed base_sim model so the
+# SR-chain eval (tail stage) has its base sampler.
+# Ref: /root/reference/scripts/burgers/burgers_data.sh:1-16.
+. "$(dirname "$0")/../r3_lib.sh"
+set -e
+ls data/1d | grep -q coef || {
+  wait_for_tpu
+  python -m wdno_tpu.cli prep-burgers --data data/1d
+}
+[ -d results/base_sim_full ] || \
+  python -m wdno_tpu.cli import-ckpt --exp base_sim_full \
+      --npz artifacts/base_sim_full.npz --milestone final

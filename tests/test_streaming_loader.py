@@ -1,0 +1,156 @@
+"""Streaming reservoir input path: npz member mapping, transform parity
+with the materialized states builder, and reservoir sampling semantics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from wdno_tpu.data.loader import ReservoirLoader, npz_member_memmap
+
+
+@pytest.fixture()
+def small_npz(tmp_path):
+    rng = np.random.default_rng(0)
+    path = tmp_path / "coef.npz"
+    np.savez(
+        path,
+        coef_0=rng.normal(size=(6, 18, 34, 34, 40)).astype(np.float32),
+        init_0=rng.normal(size=(6, 34, 34, 4)).astype(np.float32),
+        smokeout_0=rng.normal(size=(6, 18, 2)).astype(np.float32),
+        shape=np.asarray([[18, 34, 34]]),
+        ori_shape=np.asarray([[32, 64, 64]]),
+        n_levels=np.asarray(1),
+    )
+    return str(path)
+
+
+def test_npz_member_memmap_matches_load(small_npz):
+    z = np.load(small_npz)
+    for member in ("coef_0", "init_0", "smokeout_0", "shape"):
+        mm = npz_member_memmap(small_npz, member)
+        np.testing.assert_array_equal(np.asarray(mm), z[member])
+        assert isinstance(mm, np.memmap)
+
+
+def test_npz_member_memmap_rejects_compressed(tmp_path):
+    path = tmp_path / "c.npz"
+    np.savez_compressed(path, a=np.arange(10))
+    with pytest.raises(ValueError, match="deflated"):
+        npz_member_memmap(str(path), "a")
+
+
+def test_transform_matches_build_smoke_states(small_npz):
+    from wdno_tpu.data.rescalers import smoke_wavelet_rescaler
+    from wdno_tpu.data.smoke_data import build_smoke_states, smoke_states_transform
+
+    z = np.load(small_npz)
+    db = {
+        "coef": [z["coef_0"]],
+        "init": [z["init_0"]],
+        "smokeout": [z["smokeout_0"]],
+        "shape": z["shape"].tolist(),
+        "ori_shape": z["ori_shape"].tolist(),
+    }
+    r = smoke_wavelet_rescaler("bior1.3")
+    want, _, _ = build_smoke_states(db, level=0, downsample_type="time", rescaler=r)
+
+    fn = smoke_states_transform(r)
+    gids = np.arange(6)
+    got = np.asarray(fn(z["coef_0"], gids, z["init_0"], z["smokeout_0"]))
+    assert got.shape == (6, 24, 40, 40, 42)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_streaming_loader_end_to_end(small_npz):
+    from wdno_tpu.data.rescalers import smoke_wavelet_rescaler
+    from wdno_tpu.data.smoke_data import make_streaming_smoke_loader
+
+    ld = make_streaming_smoke_loader(
+        small_npz, 4, rescaler=smoke_wavelet_rescaler("bior1.3"),
+        start_refresh=False,
+    )
+    try:
+        b = ld.next()
+        assert b.shape == (4, 24, 40, 40, 42)
+        assert np.isfinite(np.asarray(b)).all()
+    finally:
+        ld.close()
+
+
+def test_reservoir_fits_whole_dataset_single_slab():
+    src = np.arange(40, dtype=np.float32).reshape(10, 2, 2)
+    ld = ReservoirLoader(src, 4, n_slabs=4, slab_items=8, seed=1)
+    try:
+        # 4*8 >= 10 -> collapses to one fully resident slab, no thread
+        assert ld.n_slabs == 1 and ld.slab_items == 10
+        assert ld._thread is None
+        got = np.asarray(ld.next())
+        assert got.shape == (4, 2, 2)
+        flat = {int(v[0, 0]) // 4 for v in got}
+        assert flat <= set(range(10))
+    finally:
+        ld.close()
+
+
+def test_reservoir_epoch_stream_covers_dataset():
+    src = np.zeros((20, 2), np.float32)
+    ld = ReservoirLoader(src, 2, n_slabs=2, slab_items=5, seed=0,
+                         start_refresh=False)
+    try:
+        seen = list(ld._next_ids(5)) + list(ld._next_ids(5))
+        # initial fill consumed 10 ids; these 10 complete the first epoch
+        first_epoch = set(seen) | {
+            int(g) for _, gids in ld._slabs for g in np.asarray(gids)
+        }
+        assert first_epoch == set(range(20))
+    finally:
+        ld.close()
+
+
+def test_reservoir_refresh_rotates_and_respects_budget():
+    import time
+
+    src = np.random.default_rng(0).normal(size=(64, 4)).astype(np.float32)
+    row = src[0].nbytes
+    ld = ReservoirLoader(
+        src, 4, n_slabs=2, slab_items=8, seed=0,
+        refresh_interval_s=0.02,
+        refresh_budget_bytes=(2 * 8 + 2 * 8) * (row + 4) + 1,  # fill + ~2 refreshes
+    )
+    try:
+        t0 = time.time()
+        while ld.transferred_bytes <= 2 * 8 * (row + 4) and time.time() - t0 < 5:
+            time.sleep(0.02)
+        time.sleep(0.2)  # let the budget check trip
+        final = ld.transferred_bytes
+        assert final <= (2 * 8 + 2 * 8) * (row + 4) + 1
+        time.sleep(0.1)
+        assert ld.transferred_bytes == final  # frozen, not still transferring
+        b = ld.next()
+        assert b.shape == (4, 4)  # sampling still works after freeze
+    finally:
+        ld.close()
+
+
+@pytest.mark.skipif(
+    not os.path.exists("data/2d/states_bior1.3_zero_time_base_n64_lvl0.npy"),
+    reason="real 10k-scene smoke split not on this machine",
+)
+def test_streaming_matches_materialized_cache_real_data():
+    """The n64 cache was built by build_smoke_states from the real split;
+    the streaming transform over the same memmapped members must agree."""
+    from wdno_tpu.data.rescalers import smoke_wavelet_rescaler
+    from wdno_tpu.data.smoke_data import smoke_states_transform
+
+    cache = np.load("data/2d/states_bior1.3_zero_time_base_n64_lvl0.npy",
+                    mmap_mode="r")
+    path = "data/2d/coef_bior1.3_zero_time_train.npz"
+    w = npz_member_memmap(path, "coef_0")
+    init = npz_member_memmap(path, "init_0")
+    sm = npz_member_memmap(path, "smokeout_0")
+    fn = smoke_states_transform(smoke_wavelet_rescaler("bior1.3"))
+    gids = np.arange(8)
+    got = np.asarray(fn(np.asarray(w[:8]), gids, np.asarray(init[:64]),
+                        np.asarray(sm[:64])))
+    np.testing.assert_allclose(got, cache[:8], rtol=0, atol=2e-6)

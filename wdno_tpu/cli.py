@@ -184,9 +184,10 @@ def _make_burgers_training(args, state_shapes, coef_shapes, rescaler):
     return model, gds, state, cfg
 
 
-def _train_with_loaders(args, gds, state, cfg, shard_paths):
+def _train_with_loaders(args, gds, state, cfg, shard_paths, loaders=None):
     """Shared train driver: native shard loaders -> Trainer (jitted SPMD
-    step, orbax milestones, metrics jsonl, elastic resume)."""
+    step, orbax milestones, metrics jsonl, elastic resume).  Pass ready-made
+    ``loaders`` (e.g. a streaming reservoir) to skip shard-path selection."""
     from .data.loader import MultiResolutionLoader, NativeShardLoader
     from .train.trainer import Trainer
 
@@ -215,6 +216,9 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
 
     from .data.loader import DeviceResidentLoader
 
+    if loaders is not None:
+        return _run_trainer(args, gds, state, cfg, loaders)
+
     total_bytes = sum(os.path.getsize(p) for p in shard_paths)
     # Budget from actual free HBM when the backend reports it (60% of free
     # leaves room for params/opt/EMA + activations); conservative 6 GB
@@ -242,6 +246,16 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths):
         loader_cls(p, batch_size=args.batch, seed=args.seed + i)
         for i, p in enumerate(shard_paths)
     ]
+    return _run_trainer(args, gds, state, cfg, loaders)
+
+
+def _run_trainer(args, gds, state, cfg, loaders):
+    import jax
+
+    from .data.loader import MultiResolutionLoader
+    from .train.trainer import Trainer
+
+    outdir = os.path.join(args.results, args.exp)
     data_iter = (
         iter(MultiResolutionLoader(loaders, seed=args.seed))
         if len(loaders) > 1
@@ -726,7 +740,27 @@ def cmd_train_smoke(args):
         "super" if args.super_model else "base",
     ] + ([f"n{maxn}"] if maxn else []))
     shard_paths, specs, state_shapes = [], [], []
-    for lvl in levels:
+    # Base model with no materialized states cache: stream a device-resident
+    # reservoir straight off the memmapped coef npz instead of writing a
+    # dataset-sized (2x-padded) cache to disk.  The 10k-scene reference-
+    # budget split is ~33 GB of coefficients / ~65 GB of states — neither
+    # fits HBM nor survives per-step tunnel transfers (the client leaks
+    # ~95% of transferred bytes into host RSS); the reservoir bounds both.
+    stream = (
+        not args.super_model
+        and not getattr(args, "states_only", False)
+        and not getattr(args, "host_data", False)
+        and not os.path.exists(os.path.join(args.data, f"states_{tag}_lvl0.npy"))
+    )
+    if stream:
+        shape = [int(v) for v in np.asarray(z["shape"])[0]]
+        state_shapes = [(24, 40, 40, 42)]
+        specs = [smoke_spec(
+            state_shapes[0], shape, is_condition_control=args.condition_control,
+            is_condition_pad=getattr(args, "condition_pad", True),
+        )]
+        print(f"level 0: streaming reservoir over {path} {shape}")
+    for lvl in (() if stream else levels):
         cache = os.path.join(args.data, f"states_{tag}_lvl{lvl}.npy")
         if not os.path.exists(cache):
             st, _, _ = build_smoke_states(
@@ -768,7 +802,20 @@ def cmd_train_smoke(args):
     params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), x0,
                                  jnp.zeros((args.batch,), jnp.int32))
     state = create_train_state(params, cfg)
-    _train_with_loaders(args, gds, state, cfg, shard_paths)
+    loaders = None
+    if stream:
+        from .data.smoke_data import make_streaming_smoke_loader
+
+        rkw = {}
+        for env, key, mul in (("WDNO_RESERVOIR_GB", "device_budget_bytes", 1e9),
+                              ("WDNO_REFRESH_GB", "refresh_budget_bytes", 1e9),
+                              ("WDNO_REFRESH_S", "refresh_interval_s", 1.0)):
+            if os.environ.get(env):
+                rkw[key] = float(os.environ[env]) * mul
+        loaders = [make_streaming_smoke_loader(
+            path, args.batch, rescaler=rescaler, seed=args.seed,
+            max_items=maxn, **rkw)]
+    _train_with_loaders(args, gds, state, cfg, shard_paths, loaders=loaders)
 
 
 def cmd_eval_smoke(args):

@@ -362,6 +362,75 @@ def build_smoke_coef(
     return out
 
 
+def smoke_states_transform(rescaler: np.ndarray, pad_t: int = 24, pad_x: int = 40):
+    """Jittable per-batch states builder — the streaming twin of
+    :func:`build_smoke_states` (base model, one level).
+
+    ``fn(w, gids, init_all, sm_all)`` maps gathered level coefficients
+    ``w [B, nt, nx, nx, 40]`` plus the (fully device-resident) per-scene
+    conditioning tables to padded 42-channel states ``[B, pad_t, pad_x,
+    pad_x, 42]``, entirely on device.  Numerically identical to the
+    materialized path (asserted in tests); exists so the 10k-scene
+    reference-budget split never needs a dataset-sized states cache on
+    disk or a per-step host transfer (reference ``data_2d.py:156-221``
+    rebuilds the same thing per item on the host).
+    """
+    r = jnp.asarray(np.asarray(rescaler).reshape(1, 1, 1, 1, -1))
+    n_rep = pad_t // 4
+
+    def fn(w: Array, gids: Array, init_all: Array, sm_all: Array) -> Array:
+        n = w.shape[0]
+        data = P.pad_to(w, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+        init = jnp.take(init_all, gids, axis=0)  # [n, nxc, nxc, 4]
+        cond = jnp.repeat(jnp.moveaxis(init, 3, 1), n_rep, axis=1)
+        cond = P.pad_to(cond, (pad_x, pad_x), axes=(2, 3))[..., None]
+        sm = jnp.take(sm_all, gids, axis=0)  # [n, ns, 2]
+        ns = sm.shape[1]
+        half = pad_x // 2
+        top = jnp.broadcast_to(sm[:, :, 0][:, :, None, None], (n, ns, half, pad_x))
+        bot = jnp.broadcast_to(sm[:, :, 1][:, :, None, None], (n, ns, half, pad_x))
+        sm_img = jnp.concatenate([top, bot], axis=2)
+        sm_img = P.pad_to(sm_img, (pad_t,), axes=(1,))[..., None]
+        return jnp.concatenate([data, cond, sm_img], axis=-1) / r
+
+    return fn
+
+
+def make_streaming_smoke_loader(
+    coef_path: str,
+    batch_size: int,
+    *,
+    rescaler: np.ndarray,
+    level: int = 0,
+    seed: int = 0,
+    max_items: Optional[int] = None,
+    **reservoir_kw,
+):
+    """Streaming reservoir loader over one level of a smoke coef ``.npz``.
+
+    Memory-maps the (uncompressed) coefficient member in place and keeps
+    the small per-scene conditioning tables fully device-resident; returns
+    a :class:`~wdno_tpu.data.loader.ReservoirLoader` yielding on-device
+    state batches.  Base model only (one level, no super channels).
+    """
+    from .loader import ReservoirLoader, npz_member_memmap
+
+    if level != 0:
+        raise ValueError("streaming smoke loader supports the base level only")
+    w = npz_member_memmap(coef_path, f"coef_{level}")
+    init_all = np.asarray(npz_member_memmap(coef_path, f"init_{level}"))
+    sm_all = np.asarray(npz_member_memmap(coef_path, f"smokeout_{level}"))
+    if max_items:
+        w = w[:max_items]
+        init_all = init_all[:max_items]
+        sm_all = sm_all[:max_items]
+    fn = smoke_states_transform(rescaler)
+    return ReservoirLoader(
+        w, batch_size, transform=fn, aux=(init_all, sm_all), seed=seed,
+        **reservoir_kw,
+    )
+
+
 def build_smoke_states(
     db: Dict,
     *,
