@@ -55,7 +55,7 @@ watched_attempt() {
     # uncommitted files at round end).  Commit hourly, not per-export —
     # each commit permanently stores a new ~45 MB npz blob (ADVICE r2 #5).
     if [ $(( n_checks % 15 )) -eq 0 ] && [ -d "results/$exp" ]; then
-      nice -n 19 python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+      nice -n 19 env WDNO_PLATFORM=cpu python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
           --out "artifacts/$exp.npz" >/dev/null 2>&1
       [ $(( n_checks % 30 )) -eq 0 ] && \
         commit_artifacts "campaign: periodic $exp export"
@@ -95,7 +95,7 @@ train_to() {
         --exp "$exp" --steps "$steps" --ckpt_every 5000 $flags "$@"
     rc=$?
     if [ "$rc" = 0 ]; then break; fi
-    python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+    WDNO_PLATFORM=cpu python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
         --out "artifacts/$exp.npz" 2>/dev/null && \
       commit_artifacts "campaign: $exp export after interruption"
     if [ "$rc" = 3 ]; then
@@ -105,7 +105,7 @@ train_to() {
     echo "[r3] train $exp interrupted $(date -u +%H:%M:%S); resuming"
     sleep 30
   done
-  python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
+  WDNO_PLATFORM=cpu python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
       --out "artifacts/$exp.npz" || true
   save_results "$exp"
   commit_artifacts "campaign: $exp training milestone exported"

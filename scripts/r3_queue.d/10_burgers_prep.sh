@@ -9,6 +9,9 @@ ls data/1d | grep -q coef || {
   wait_for_tpu
   python -m wdno_tpu.cli prep-burgers --data data/1d
 }
+# import/export are pure host work (npz <-> orbax) — pin them to CPU so a
+# wedged tunnel can never hang them (observed live: a half-alive tunnel
+# blocked this import in futex-wait for 25 min)
 [ -d results/base_sim_full ] || \
-  python -m wdno_tpu.cli import-ckpt --exp base_sim_full \
+  WDNO_PLATFORM=cpu python -m wdno_tpu.cli import-ckpt --exp base_sim_full \
       --npz artifacts/base_sim_full.npz --milestone final
