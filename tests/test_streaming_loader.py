@@ -151,6 +151,6 @@ def test_streaming_matches_materialized_cache_real_data():
     sm = npz_member_memmap(path, "smokeout_0")
     fn = smoke_states_transform(smoke_wavelet_rescaler("bior1.3"))
     gids = np.arange(8)
-    got = np.asarray(fn(np.asarray(w[:8]), gids, np.asarray(init[:64]),
-                        np.asarray(sm[:64])))
+    got = np.asarray(fn(np.asarray(w[:8]), gids, np.asarray(init[:8]),
+                        np.asarray(sm[:8])))
     np.testing.assert_allclose(got, cache[:8], rtol=0, atol=2e-6)

@@ -234,18 +234,39 @@ def _train_with_loaders(args, gds, state, cfg, shard_paths, loaders=None):
         pass
     if os.environ.get("WDNO_DEVICE_DATA_GB"):
         budget = float(os.environ["WDNO_DEVICE_DATA_GB"]) * 1e9
-    use_device = (
-        not getattr(args, "host_data", False)
-        and jax.device_count() == 1
-        and total_bytes < budget
-    )
-    loader_cls = DeviceResidentLoader if use_device else NativeShardLoader
-    print(f"input pipeline: {'device-resident' if use_device else 'host shards'} "
-          f"({total_bytes / 1e9:.2f} GB)")
-    loaders = [
-        loader_cls(p, batch_size=args.batch, seed=args.seed + i)
-        for i, p in enumerate(shard_paths)
-    ]
+    single = not getattr(args, "host_data", False) and jax.device_count() == 1
+    if single and total_bytes < budget:
+        print(f"input pipeline: device-resident ({total_bytes / 1e9:.2f} GB)")
+        loaders = [
+            DeviceResidentLoader(p, batch_size=args.batch, seed=args.seed + i)
+            for i, p in enumerate(shard_paths)
+        ]
+    elif single:
+        # Too big for HBM on one chip: reservoir tier — HBM slab ring with
+        # byte-budgeted background refresh.  NEVER stream per-step batches
+        # through the tunnel: the client leaks ~95% of transferred bytes
+        # into host RSS (measured; a 3.5 MB/step loop leaks ~2.5 GB/min).
+        from .data.loader import ReservoirLoader
+
+        print(f"input pipeline: HBM reservoir ({total_bytes / 1e9:.2f} GB total)")
+        refresh_total = float(os.environ.get("WDNO_REFRESH_GB", "40")) * 1e9
+        loaders = []
+        for i, p in enumerate(shard_paths):
+            share = os.path.getsize(p) / total_bytes
+            loaders.append(ReservoirLoader(
+                np.load(p, mmap_mode="r"), args.batch, seed=args.seed + i,
+                device_budget_bytes=budget * share,
+                refresh_budget_bytes=refresh_total * share,
+            ))
+            kind = ("resident" if loaders[-1].n_slabs == 1
+                    else f"{loaders[-1].n_slabs}x{loaders[-1].slab_items}-slab")
+            print(f"  shard {i}: {kind}")
+    else:
+        print(f"input pipeline: host shards ({total_bytes / 1e9:.2f} GB)")
+        loaders = [
+            NativeShardLoader(p, batch_size=args.batch, seed=args.seed + i)
+            for i, p in enumerate(shard_paths)
+        ]
     return _run_trainer(args, gds, state, cfg, loaders)
 
 

@@ -321,7 +321,18 @@ class ReservoirLoader:
         self._perm_pos = 0
         self._lock = threading.Lock()
         self._stop = threading.Event()
-        self._aux = tuple(jax.device_put(np.asarray(a)) for a in aux)
+        # Everything device-resident is stored flattened to [N, prod]:
+        # XLA's (8,128)-tiled layout pads a small minor dim (40-channel
+        # states 3.2x, 4-channel conditioning 32x) — a 2D layout with a
+        # large minor dim stores at the true size (same trick as
+        # DeviceResidentLoader).  Rows are reshaped after the on-device
+        # gather, where the padded footprint is only batch-sized.
+        self.item_shape = tuple(source.shape[1:])
+        self._aux_shapes = tuple(tuple(np.asarray(a).shape[1:]) for a in aux)
+        self._aux = tuple(
+            jax.device_put(np.ascontiguousarray(a).reshape(len(a), -1))
+            for a in aux
+        )
 
         self._slabs = []
         for _ in range(self.n_slabs):
@@ -331,9 +342,18 @@ class ReservoirLoader:
         if transform is None:
             def transform(rows, gids, *_aux):
                 return rows
+        item_shape, aux_shapes = self.item_shape, self._aux_shapes
+
         def _sample(slab, gids, idx, *aux_arrs):
-            return transform(jnp.take(slab, idx, axis=0),
-                             jnp.take(gids, idx, axis=0), *aux_arrs)
+            rows = jnp.take(slab, idx, axis=0)
+            rows = rows.reshape((idx.shape[0],) + item_shape)
+            gid = jnp.take(gids, idx, axis=0)
+            aux_rows = tuple(
+                jnp.take(a, gid, axis=0).reshape((idx.shape[0],) + sh)
+                for a, sh in zip(aux_arrs, aux_shapes)
+            )
+            return transform(rows, gid, *aux_rows)
+
         self._sample = jax.jit(_sample)
 
         self._thread = None
@@ -360,7 +380,7 @@ class ReservoirLoader:
         import jax
 
         order = np.sort(ids)  # sorted gather = sequential-ish memmap reads
-        rows = np.ascontiguousarray(self._src[order])
+        rows = np.ascontiguousarray(self._src[order]).reshape(len(order), -1)
         dev = jax.device_put(rows)
         gid = jax.device_put(order.astype(np.int32))
         dev.block_until_ready()

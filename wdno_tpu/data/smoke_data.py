@@ -366,25 +366,25 @@ def smoke_states_transform(rescaler: np.ndarray, pad_t: int = 24, pad_x: int = 4
     """Jittable per-batch states builder — the streaming twin of
     :func:`build_smoke_states` (base model, one level).
 
-    ``fn(w, gids, init_all, sm_all)`` maps gathered level coefficients
-    ``w [B, nt, nx, nx, 40]`` plus the (fully device-resident) per-scene
-    conditioning tables to padded 42-channel states ``[B, pad_t, pad_x,
-    pad_x, 42]``, entirely on device.  Numerically identical to the
-    materialized path (asserted in tests); exists so the 10k-scene
-    reference-budget split never needs a dataset-sized states cache on
-    disk or a per-step host transfer (reference ``data_2d.py:156-221``
-    rebuilds the same thing per item on the host).
+    ``fn(w, gids, init, sm)`` maps gathered level coefficients
+    ``w [B, nt, nx, nx, 40]`` plus per-scene conditioning rows (gathered by
+    the reservoir from its device-resident tables) to padded 42-channel
+    states ``[B, pad_t, pad_x, pad_x, 42]``, entirely on device.
+    Numerically identical to the materialized path (asserted in tests);
+    exists so the 10k-scene reference-budget split never needs a
+    dataset-sized states cache on disk or a per-step host transfer
+    (reference ``data_2d.py:156-221`` rebuilds the same thing per item on
+    the host).
     """
     r = jnp.asarray(np.asarray(rescaler).reshape(1, 1, 1, 1, -1))
     n_rep = pad_t // 4
 
-    def fn(w: Array, gids: Array, init_all: Array, sm_all: Array) -> Array:
+    def fn(w: Array, gids: Array, init: Array, sm: Array) -> Array:
+        del gids  # conditioning rows arrive pre-gathered
         n = w.shape[0]
         data = P.pad_to(w, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
-        init = jnp.take(init_all, gids, axis=0)  # [n, nxc, nxc, 4]
-        cond = jnp.repeat(jnp.moveaxis(init, 3, 1), n_rep, axis=1)
+        cond = jnp.repeat(jnp.moveaxis(init, 3, 1), n_rep, axis=1)  # [n,4T,..]
         cond = P.pad_to(cond, (pad_x, pad_x), axes=(2, 3))[..., None]
-        sm = jnp.take(sm_all, gids, axis=0)  # [n, ns, 2]
         ns = sm.shape[1]
         half = pad_x // 2
         top = jnp.broadcast_to(sm[:, :, 0][:, :, None, None], (n, ns, half, pad_x))
