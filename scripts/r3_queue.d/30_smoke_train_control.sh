@@ -22,4 +22,8 @@ while [ ! -e logs/smoke_loader_ready ]; do
   echo "[r3] waiting for smoke streaming loader $(date -u +%H:%M:%S)"
   sleep 60
 done
+# ~3 h window: 55 GB of refresh traffic (leaked into RSS by the tunnel
+# client; the 125 GB host absorbs it for one process lifetime) cycles the
+# full 10k-scene split >2x through the reservoir
+export WDNO_REFRESH_GB=${WDNO_REFRESH_GB:-55}
 train_to base_control_smoke train-smoke --ema_only 200000 --data data/2d
