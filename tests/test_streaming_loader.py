@@ -133,6 +133,25 @@ def test_reservoir_refresh_rotates_and_respects_budget():
         ld.close()
 
 
+def test_reservoir_next_concurrent_with_refresh():
+    """next() races the refresh thread over the slab list — shapes and
+    values must stay valid across many swaps (lock + slab-reference
+    semantics; a torn swap would surface as a shape error or garbage)."""
+    src = np.repeat(np.arange(256, dtype=np.float32)[:, None], 8, 1).reshape(256, 2, 4)
+    ld = ReservoirLoader(src, 8, n_slabs=2, slab_items=16, seed=3,
+                         refresh_interval_s=0.005,
+                         refresh_budget_bytes=1e9)
+    try:
+        for _ in range(300):
+            b = np.asarray(ld.next())
+            assert b.shape == (8, 2, 4)
+            # every row must be one of the source rows, intact
+            assert np.all(b == b[:, :1, :1]), "torn row after slab swap"
+        assert ld.transferred_bytes > 2 * 16 * src[0].nbytes  # refreshed
+    finally:
+        ld.close()
+
+
 @pytest.mark.skipif(
     not os.path.exists("data/2d/states_bior1.3_zero_time_base_n64_lvl0.npy"),
     reason="real 10k-scene smoke split not on this machine",
