@@ -658,10 +658,19 @@ def cmd_merge_smoke_data(args):
 
 
 def cmd_prep_smoke(args):
+    from .data.loader import npz_member_memmap
     from .data.smoke_data import build_smoke_coef
 
-    z = np.load(os.path.join(args.data, f"{args.split}.npz"))
-    fields = {k: z[k] for k in z.files}
+    path = os.path.join(args.data, f"{args.split}.npz")
+    z = np.load(path)
+    try:
+        # map members in place (np.savez stores them uncompressed) — the
+        # 26 GB 10k-scene raw split must never be materialized in host RAM
+        # (the whole-dict load OOM-killed the r3 train prep); the chunked
+        # builder slices lazily
+        fields = {k: npz_member_memmap(path, k) for k in z.files}
+    except ValueError:  # compressed npz (e.g. small test fixtures)
+        fields = {k: z[k] for k in z.files}
     for ds_type in args.types.split(","):
         db = build_smoke_coef(
             fields, wave_type=args.wave_type, pad_mode=args.pad_mode,
