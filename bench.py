@@ -193,8 +193,9 @@ def main():
     # cached record first so the round always has a parseable number.
     def _on_term(*_):
         _resume_paused()
-        _print_cached("_cached_interrupted")
-        os._exit(0)
+        # rc=0 only when a parseable record actually went out; a silent
+        # success would mask the exact parsed=null outcome this exists for
+        os._exit(0 if _print_cached("_cached_interrupted") else 1)
 
     signal.signal(signal.SIGTERM, _on_term)
     _wait_for_device()
@@ -208,8 +209,7 @@ def main():
         print("bench: self-deadline hit mid-measure (wedged chip or cold-"
               "compile overrun) — emitting cached record", file=sys.stderr)
         _resume_paused()
-        _print_cached("_cached_measure_deadline")
-        os._exit(0)
+        os._exit(0 if _print_cached("_cached_measure_deadline") else 1)
 
     signal.signal(signal.SIGALRM, _on_alarm)
     signal.alarm(int(os.environ.get("WDNO_BENCH_SELFKILL_S", "420")))
@@ -220,8 +220,7 @@ def main():
         # SystemExit(143) = SIGTERM delivered inside _PauseCampaign (whose
         # handler must raise so the paused campaign gets SIGCONTed on unwind)
         if e.code == 143:
-            _print_cached("_cached_interrupted")
-            os._exit(0)
+            os._exit(0 if _print_cached("_cached_interrupted") else 1)
         raise
     except BaseException as e:
         print(f"bench: measurement failed: {e!r}", file=sys.stderr)

@@ -13,15 +13,6 @@ if [ -n "$re" ]; then
 else
   DEADLINE_EPOCH=$(( $(date +%s) + 10800 ))
 fi
-# the streaming loader lands in-code this session; wait (bounded) for its
-# readiness marker instead of failing the stage five times
-while [ ! -e logs/smoke_loader_ready ]; do
-  if [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; then
-    echo "[r3] smoke loader never became ready; giving up the stage"; exit 1
-  fi
-  echo "[r3] waiting for smoke streaming loader $(date -u +%H:%M:%S)"
-  sleep 60
-done
 # ~3 h window: 55 GB of refresh traffic (leaked into RSS by the tunnel
 # client; the 125 GB host absorbs it for one process lifetime) cycles the
 # full 10k-scene split >2x through the reservoir

@@ -14,7 +14,6 @@ fi
 if [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; then
   echo "[r3] no time left for the smoke sim model this round"; exit 0
 fi
-[ -e logs/smoke_loader_ready ] || { echo "[r3] loader not ready"; exit 1; }
 export WDNO_REFRESH_GB=${WDNO_REFRESH_GB:-40}
 train_to base_sim_smoke train-smoke --ema_only 200000 --data data/2d \
     --condition_control True

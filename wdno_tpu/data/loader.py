@@ -400,6 +400,11 @@ class ReservoirLoader:
                 print(f"[reservoir] refresh failed ({e!r}); retrying next tick")
                 continue
             with self._lock:
+                # close() may have run while _upload was reading a multi-GB
+                # slab (join times out) — drop the orphan instead of
+                # storing into a torn-down loader
+                if self._slabs is None or self._stop.is_set():
+                    return
                 self._slabs[cursor] = slab
             cursor = (cursor + 1) % self.n_slabs
 
@@ -422,7 +427,8 @@ class ReservoirLoader:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
-        self._slabs = None
+        with self._lock:
+            self._slabs = None
         self._aux = None
 
 
