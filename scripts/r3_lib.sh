@@ -2,6 +2,14 @@
 # Mirrors the proven campaign_r3.sh machinery, split out so the queue
 # runner can re-read the stage list between stages (VERDICT r2 #7).
 
+# Persistent XLA compile cache: chunked eval stages re-enter the CLI per
+# chunk and would otherwise pay the full sampler+rollout compile (~13 min
+# measured for the guided smoke control eval) every time; with the cache the
+# 2nd..Nth chunks of the same shape skip straight to execution.  Trainer
+# resumes after a stall-kill benefit the same way.
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/wdno_jax_cache}
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=${JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS:-1.0}
+
 PROBE_SLEEP=${PROBE_SLEEP:-120}
 STALL_S=${STALL_S:-1200}
 STARTUP_GRACE_S=${STARTUP_GRACE_S:-4200}
@@ -22,12 +30,17 @@ commit_artifacts() {
   git commit -q -m "$1" 2>/dev/null || true
 }
 
-# stash an experiment's eval/config json into artifacts/eval (results/ is
-# wiped between rounds; VERDICT r2 weak #3)
+# stash an experiment's outputs into artifacts/ (results/ is wiped between
+# rounds; VERDICT r2 weak #3).  Eval outputs go to artifacts/eval, the
+# train-side config/metrics to artifacts/train_metrics — mixing them under
+# eval/ mislabeled training curves as eval results (VERDICT r3 weak #5).
 save_results() {
   exp=$1
-  for f in eval_results.json config.json metrics.jsonl; do
-    [ -e "results/$exp/$f" ] && cp "results/$exp/$f" "artifacts/eval/${exp}_${f}"
+  mkdir -p artifacts/eval artifacts/train_metrics
+  [ -e "results/$exp/eval_results.json" ] && \
+    cp "results/$exp/eval_results.json" "artifacts/eval/${exp}_eval_results.json"
+  for f in config.json metrics.jsonl; do
+    [ -e "results/$exp/$f" ] && cp "results/$exp/$f" "artifacts/train_metrics/${exp}_${f}"
   done
   return 0
 }
@@ -109,6 +122,23 @@ train_to() {
       --out "artifacts/$exp.npz" || true
   save_results "$exp"
   commit_artifacts "campaign: $exp training milestone exported"
+}
+
+# fail-fast gate (VERDICT r3 #6): an eval stage whose model does not exist
+# can never heal by retrying — r3's stage 40 burned 3 tries x 25 min on a
+# missing config.json (logs/campaign_r3.log:474-516).  Skip with one line.
+# Usage: gate_model <exp> || exit 0
+gate_model() {
+  exp=$1
+  if [ ! -e "results/$exp/config.json" ]; then
+    echo "[r4] gate: results/$exp/config.json absent — no trained model; skipping stage (not retrying)"
+    return 1
+  fi
+  ls "results/$exp"/model-* >/dev/null 2>&1 || {
+    echo "[r4] gate: results/$exp has no model-* checkpoint; skipping stage (not retrying)"
+    return 1
+  }
+  return 0
 }
 
 # round-end epoch: generic logs/round_end wins; the r3 name is the fallback
