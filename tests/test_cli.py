@@ -372,3 +372,46 @@ def test_cli_export_import_ckpt_roundtrip(tmp_path):
             np.testing.assert_allclose(
                 np.asarray(fs[k], np.float32), np.asarray(fd[k], np.float32),
                 rtol=2e-3, atol=2e-3, err_msg=f"{name}:{k}")
+
+
+@pytest.mark.slow
+def test_cli_smoke_super_pipeline_with_supplemental_levels(tmp_path):
+    """Smoke SUPER training through the CLI with the r4 two-file coef
+    layout: the standard npz holds level 0 only (as on the reference-budget
+    host, where level 0 is 33 GB) and a supplemental `_lvl1-2` npz from
+    `prep-smoke --levels 1,2` provides the downsampled levels.  Trains the
+    82-channel model for 2 steps over levels 0..1 (each conditioned on the
+    next level up) at the real [24,40,40] state geometry."""
+    data = str(tmp_path / "data2d")
+    results = str(tmp_path / "results")
+    os.makedirs(data)
+    rng = np.random.default_rng(0)
+    N, F, X = 4, 33, 64
+    fields = {
+        "Density": rng.random((N, F, X, X)).astype(np.float32),
+        "Velocity": rng.standard_normal((N, F, X, X, 2)).astype(np.float32),
+        "Control": rng.standard_normal((N, F, X, X, 2)).astype(np.float32),
+        "Smoke": rng.random((N, F, 8)).astype(np.float32) + 0.1,
+    }
+    np.savez(os.path.join(data, "train.npz"), **fields)
+
+    main(["prep-smoke", "--data", data, "--types", "space",
+          "--n_downsample", "1"])
+    main(["prep-smoke", "--data", data, "--types", "space",
+          "--levels", "1,2"])
+    assert os.path.exists(
+        os.path.join(data, "coef_bior1.3_zero_space_lvl1-2_train.npz"))
+
+    main(["train-smoke", "--data", data, "--results", results,
+          "--exp", "cli_smoke_super", "--super_model", "True",
+          "--condition_control", "True", "--n_downsample", "2",
+          "--dim", "8", "--dim_mults", "1", "2", "--batch", "8",
+          "--steps", "2", "--timesteps", "8", "--bf16", "False",
+          "--log_every", "1", "--ckpt_every", "0"])
+    m = [json.loads(l) for l in
+         open(os.path.join(results, "cli_smoke_super", "metrics.jsonl"))]
+    assert m and np.isfinite(m[-1]["loss"])
+    # both training levels materialized their states caches
+    for lvl in (0, 1):
+        assert os.path.exists(os.path.join(
+            data, f"states_bior1.3_zero_space_super_lvl{lvl}.npy"))

@@ -133,3 +133,19 @@ def test_smoke_datagen_batch_size_invariant(monkeypatch):
     np.testing.assert_array_equal(one["Density"][:, 0], cat["Density"][:, 0])
     for k in one:
         np.testing.assert_allclose(one[k], cat[k], atol=0.15)
+
+
+def test_build_smoke_coef_levels_subset_matches_full():
+    """prep-smoke --levels computes a subset of downsample exponents into a
+    supplemental blob (the 33 GB level-0 member cannot be rewritten on the
+    reference-budget host); subset results must be bit-identical to the
+    corresponding positions of a full prep."""
+    fields = _fake_fields()
+    full = build_smoke_coef(fields, n_downsample=3, downsample_type="space")
+    sub = build_smoke_coef(fields, downsample_type="space", levels=[1, 2])
+    assert sub["levels"] == [1, 2]
+    for k in ("coef", "init", "smokeout"):
+        np.testing.assert_array_equal(sub[k][0], full[k][1])
+        np.testing.assert_array_equal(sub[k][1], full[k][2])
+    assert sub["shape"][0] == full["shape"][1]
+    assert sub["ori_shape"][1] == full["ori_shape"][2]

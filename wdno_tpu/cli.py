@@ -303,7 +303,7 @@ def _run_trainer(args, gds, state, cfg, loaders):
         gds, data_iter, cfg, state.params, outdir,
         save_every=args.ckpt_every, log_every=args.log_every, seed=args.seed,
         trace_dir=getattr(args, "trace_dir", None), mesh=mesh, fsdp=fsdp,
-        context_parallel=cp,
+        context_parallel=cp, loaders=loaders,
     )
     if getattr(args, "resume", False):
         restored = trainer.restore_latest()
@@ -671,13 +671,22 @@ def cmd_prep_smoke(args):
         fields = {k: npz_member_memmap(path, k) for k in z.files}
     except ValueError:  # compressed npz (e.g. small test fixtures)
         fields = {k: z[k] for k in z.files}
+    levels = ([int(v) for v in args.levels.split(",")]
+              if getattr(args, "levels", None) else None)
     for ds_type in args.types.split(","):
         db = build_smoke_coef(
             fields, wave_type=args.wave_type, pad_mode=args.pad_mode,
             n_downsample=args.n_downsample, downsample_type=ds_type,
+            levels=levels,
         )
+        # --levels writes a *supplemental* blob (absolute level indices in a
+        # `levels` member) next to the standard one: the super-model prep
+        # reuses the existing 33 GB level-0 npz instead of rewriting it —
+        # there is not enough free disk to hold two copies of level 0.
+        tag = f"_lvl{'-'.join(str(v) for v in levels)}" if levels else ""
         out = os.path.join(
-            args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_{args.split}.npz"
+            args.data,
+            f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}{tag}_{args.split}.npz",
         )
         np.savez(
             out,
@@ -686,7 +695,8 @@ def cmd_prep_smoke(args):
             **{f"smokeout_{i}": c for i, c in enumerate(db["smokeout"])},
             shape=np.asarray(db["shape"]),
             ori_shape=np.asarray(db["ori_shape"]),
-            n_levels=args.n_downsample,
+            n_levels=len(db["coef"]),
+            levels=np.asarray(db["levels"]),
         )
         print("saved", out)
 
@@ -737,6 +747,8 @@ def cmd_train_smoke(args):
         _train_with_loaders(args, [gd], state, cfg, [cache])
         return
 
+    from .data.loader import npz_member_memmap
+
     ds_type = "space" if args.condition_control else "time"
     path = os.path.join(args.data, f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_train.npz")
     z = np.load(path)
@@ -744,21 +756,67 @@ def cmd_train_smoke(args):
     maxn = getattr(args, "max_train_samples", None)
     db = None
 
+    # The super model at level l conditions on level l+1, so training
+    # levels 0..n_downsample-1 needs coefficient levels 0..n_downsample.
+    # Levels beyond the main npz come from supplemental `_lvlA-B` blobs
+    # (prep-smoke --levels): level 0 alone is 33 GB on the reference-budget
+    # split, so the prep appends new levels in a second file instead of
+    # rewriting the first.
+    need = args.n_downsample + (1 if args.super_model else 0)
+    sup_level_src = {}  # absolute level -> (path, position-in-file)
+    if need > n:
+        import glob as _glob
+
+        pat = os.path.join(
+            args.data,
+            f"coef_{args.wave_type}_{args.pad_mode}_{ds_type}_lvl*_train.npz",
+        )
+        for sp in sorted(_glob.glob(pat)):
+            zs = np.load(sp)
+            for pos, lv in enumerate(np.asarray(zs["levels"]).tolist()):
+                sup_level_src.setdefault(int(lv), (sp, pos))
+        missing = [l for l in range(n, need) if l not in sup_level_src]
+        if missing:
+            raise SystemExit(
+                f"coef levels {missing} not found: {path} has levels 0..{n - 1} "
+                f"and no supplemental npz matching {pat} provides them — run "
+                f"`prep-smoke --types {ds_type} --levels "
+                f"{','.join(str(l) for l in missing)}` first"
+            )
+
+    def _member(p, name):
+        try:  # uncompressed savez: map in place, never materialize
+            return npz_member_memmap(p, name)
+        except ValueError:
+            return np.load(p)[name]
+
+    def _level_meta(lvl, key):
+        if lvl < n:
+            return list(np.asarray(z[key])[lvl])
+        sp, pos = sup_level_src[lvl]
+        return list(np.asarray(np.load(sp)[key])[pos])
+
     def load_db():
-        # Deferred: the full coefficient arrays are tens of GB for the
-        # reference-budget split and are only needed when a states cache is
-        # missing — a trainer resume must not pay minutes of npz decompress
-        # just to re-read shapes that z["shape"] already stores.
+        # Deferred: only needed when a states cache is missing — a trainer
+        # resume must not pay minutes of npz reads just to re-read shapes
+        # that z["shape"] already stores.  Members are memmapped; the
+        # chunked states builder slices lazily.
         nonlocal db
         if db is None:
-            db = {
-                "coef": [z[f"coef_{i}"] for i in range(n)],
-                "init": [z[f"init_{i}"] for i in range(n)],
-                "smokeout": [z[f"smokeout_{i}"] for i in range(n)],
-                "shape": z["shape"].tolist(),
-                "ori_shape": z["ori_shape"].tolist(),
-            }
-            if maxn:  # cap scenes (e.g. to keep multi-level super states in HBM)
+            coef, init, smoke, shp, ori = [], [], [], [], []
+            for lvl in range(need):
+                if lvl < n:
+                    src, pos = path, lvl
+                else:
+                    src, pos = sup_level_src[lvl]
+                coef.append(_member(src, f"coef_{pos}"))
+                init.append(_member(src, f"init_{pos}"))
+                smoke.append(_member(src, f"smokeout_{pos}"))
+                shp.append(_level_meta(lvl, "shape"))
+                ori.append(_level_meta(lvl, "ori_shape"))
+            db = {"coef": coef, "init": init, "smokeout": smoke,
+                  "shape": shp, "ori_shape": ori}
+            if maxn:  # cap scenes (e.g. to keep multi-level super states on disk)
                 for k in ("coef", "init", "smokeout"):
                     db[k] = [a[:maxn] for a in db[k]]
         return db
@@ -784,6 +842,16 @@ def cmd_train_smoke(args):
     )
     if stream:
         shape = [int(v) for v in np.asarray(z["shape"])[0]]
+        # The streaming transform pads coefficients to the fixed published
+        # state geometry; a nonstandard prep (larger nt'/nx') would only
+        # blow up later inside the jitted pad_to, far from this decision
+        # (ADVICE r3) — fall back to the materialized path here instead.
+        pads = (24, 40, 40)
+        if any(s > p for s, p in zip(shape, pads)):
+            print(f"coef shape {shape} exceeds streaming pad targets {pads}; "
+                  "using the materialized states path")
+            stream = False
+    if stream:
         state_shapes = [(24, 40, 40, 42)]
         specs = [smoke_spec(
             state_shapes[0], shape, is_condition_control=args.condition_control,
@@ -799,8 +867,7 @@ def cmd_train_smoke(args):
             )
             np.save(cache, np.ascontiguousarray(st, dtype=np.float32))
             del st
-        shape = list(np.asarray(z["shape"])[lvl])
-        shape = [int(v) for v in shape]
+        shape = [int(v) for v in _level_meta(lvl, "shape")]
         _, _, full_shape, _ = parse_npy_header(cache)
         bump = (0, 2, 2) if args.condition_control else (2, 0, 0)
         cs = [shape[i] + (bump[i] if args.super_model else 0) for i in range(3)]
@@ -1476,6 +1543,10 @@ def _build_parser():
     p.add_argument("--n_downsample", type=int, default=3)
     p.add_argument("--types", type=str, default="time,space",
                    help="comma-separated downsample families to prep")
+    p.add_argument("--levels", type=str, default=None,
+                   help="comma-separated absolute downsample exponents to "
+                        "prep into a supplemental _lvlA-B npz (reuses an "
+                        "existing level-0 blob instead of rewriting it)")
     p.set_defaults(fn=cmd_prep_smoke)
 
     p = _add_common(sub.add_parser("train-smoke"))

@@ -19,7 +19,7 @@ a disk-I/O bottleneck flagged in SURVEY §3.3) — with:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -293,6 +293,7 @@ def build_smoke_coef(
     downsample_type: str = "time",
     num_frames: int = 32,
     batch: int = 64,
+    levels: Optional[Sequence[int]] = None,
 ) -> Dict:
     """Per-level packed coefficient blobs for a batch of sims.
 
@@ -301,8 +302,15 @@ def build_smoke_coef(
     and takes a level-1 3D DWT; also the 2D DWT of the initial density and
     the 1D DWT of the smoke-out ratio (``wave_trans_2d.py:126-159``).
 
+    ``levels`` selects specific downsample exponents (default
+    ``range(n_downsample)``): the super-model prep computes only levels
+    1..n when a level-0 blob already exists on disk — recomputing (or even
+    rewriting) the 33 GB level-0 member would need more free disk than the
+    reference-budget host has.
+
     Returns {"coef": [N, nt', nx', nx', 40] per level, "init": [N, nx',
-    nx', 4] per level, "smokeout": [N, ns', 2] per level, "shape", "ori_shape"}.
+    nx', 4] per level, "smokeout": [N, ns', 2] per level, "shape",
+    "ori_shape", "levels"} — lists positional, aligned with ``levels``.
     """
     d = fields["Density"]
     v = fields["Velocity"]
@@ -320,8 +328,11 @@ def build_smoke_coef(
     # per-batch coefficient slice in Python lists — for the 10k-scene
     # reference-budget train split that peaked well past host RAM and was
     # OOM-killed; this version's peak is fields + the output arrays.
-    out = {"coef": [], "init": [], "smokeout": [], "shape": [], "ori_shape": []}
-    for i in range(n_downsample):
+    if levels is None:
+        levels = list(range(n_downsample))
+    out = {"coef": [], "init": [], "smokeout": [], "shape": [], "ori_shape": [],
+           "levels": list(levels)}
+    for pos, i in enumerate(levels):
         for j in range(0, N, batch):
             sl = slice(j, min(j + batch, N))
             X = np.stack(
@@ -356,9 +367,9 @@ def build_smoke_coef(
                     np.empty((N,) + sj.shape[1:], np.float32))
                 out["shape"].append(list(cj.shape[1:4]))
                 out["ori_shape"].append(list(Xs.shape[2:]))
-            out["coef"][i][sl] = cj
-            out["init"][i][sl] = ij
-            out["smokeout"][i][sl] = sj
+            out["coef"][pos][sl] = cj
+            out["init"][pos][sl] = ij
+            out["smokeout"][pos][sl] = sj
     return out
 
 
