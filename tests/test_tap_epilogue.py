@@ -91,3 +91,38 @@ def test_packed_conv3d_bias_and_grads_vs_native(epilogue, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4,
             atol=2e-4 * float(jnp.abs(b).max()))
+
+
+def test_tap_sum_bf16_v1_vs_v2_tolerance(monkeypatch):
+    """ADVICE r3: the v2 block kernel accumulates the 3-tap sum + bias in
+    the INPUT dtype (bf16 in training; f32 temps blow the 16M scoped-VMEM
+    limit at the level-0 shape), while the v1 per-row path accumulates in
+    f32 — and which path runs is a shape-dependent switch (_pick_nb).  Pin
+    the bf16 discrepancy: both paths must sit within ~2 bf16 ulps of the
+    f32 oracle, i.e. the switch can never change results by more than
+    normal bf16 rounding noise."""
+    import wdno_tpu.ops.tap_epilogue as te
+
+    rng = np.random.default_rng(3)
+    B, F, H, W, co, kd = 8, 6, 8, 8, 16, 3  # n=48 -> v2 picks nb=16
+    n = B * F
+    y32 = rng.standard_normal((n, H, W, kd * co)).astype(np.float32)
+    b32 = rng.standard_normal((co,)).astype(np.float32)
+    y = jnp.asarray(y32, jnp.bfloat16)
+    bias = jnp.asarray(b32, jnp.bfloat16)
+    oracle = np.asarray(
+        cp._taps_to_frames(jnp.asarray(y32), kd, co, F) + jnp.asarray(b32))
+
+    # disable_jit: tap_sum is jitted and _pick_nb runs at TRACE time, so a
+    # monkeypatched switch would otherwise be defeated by the jit cache
+    with jax.disable_jit():
+        v2 = np.asarray(tap_sum(y, bias, kd=kd, co=co, f=F), np.float32)
+        monkeypatch.setattr(te, "_pick_nb", lambda *a, **k: 0)  # force v1
+        v1 = np.asarray(te.tap_sum(y, bias, kd=kd, co=co, f=F), np.float32)
+    assert not np.array_equal(v1, v2)  # proves the two kernels both ran
+
+    # |sum| <= ~4 here; one bf16 ulp at 4 is 0.03125 -> 2 ulps + input
+    # quantization gives ~0.07 worst case
+    np.testing.assert_allclose(v1, oracle, atol=0.08)
+    np.testing.assert_allclose(v2, oracle, atol=0.08)
+    np.testing.assert_allclose(v1, v2, atol=0.08)

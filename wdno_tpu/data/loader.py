@@ -313,6 +313,10 @@ class ReservoirLoader:
         self.refresh_budget_bytes = float(refresh_budget_bytes)
         self.refresh_interval_s = float(refresh_interval_s)
         self.transferred_bytes = 0
+        # Set when the refresh byte budget runs out: training then continues
+        # on a frozen ~device-budget subset, which post-hoc analysis must be
+        # able to see in the metrics (ADVICE r3) — the Trainer logs it.
+        self.frozen = False
         self._rng = np.random.default_rng(seed)
         # the epoch stream runs on the refresh thread; np.random.Generator
         # is not thread-safe, so it gets its own instance
@@ -391,6 +395,7 @@ class ReservoirLoader:
         cursor = 0
         while not self._stop.wait(self.refresh_interval_s):
             if self.transferred_bytes + self._slab_bytes > self.refresh_budget_bytes:
+                self.frozen = True
                 print("[reservoir] refresh byte budget exhausted "
                       f"({self.transferred_bytes / 1e9:.1f} GB); reservoir frozen")
                 return

@@ -98,10 +98,12 @@ class Trainer:
         trace_dir: Optional[str] = None,
         trace_start: int = 10,
         trace_steps: int = 5,
+        loaders=None,  # optional: underlying loaders, for health flags in the log
     ):
         diffusions = diffusion if isinstance(diffusion, (list, tuple)) else [diffusion]
         self.diffusion = diffusions[0]
         self.data_iter = data_iter
+        self.loaders = list(loaders) if loaders else []
         self.cfg = cfg
         self.results_dir = results_dir
         os.makedirs(results_dir, exist_ok=True)
@@ -270,6 +272,12 @@ class Trainer:
                 # data-upload time for the whole run
                 now = time.time()
                 last["steps_per_sec"] = (i + 1 - steps_at_log) / (now - t0)
+                # surface a frozen streaming reservoir in the metrics (a
+                # background-thread print is invisible post-hoc, ADVICE r3):
+                # every later record carries the flag, so the freeze step is
+                # the first record that has it
+                if any(getattr(ld, "frozen", False) for ld in self.loaders):
+                    last["reservoir_frozen"] = 1.0
                 steps_at_log, t0 = i + 1, now
                 self._log(step, last)
             if self.save_every and step % self.save_every == 0:
