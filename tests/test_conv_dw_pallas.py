@@ -1,0 +1,111 @@
+"""Pallas conv weight-grad kernels vs the XLA/jnp oracle (interpret mode
+on CPU).  The oracle is exactly the pre-kernel production path: XLA's
+wgrad of the tap-packed 2D conv fed by the frame-shifted cotangent."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import wdno_tpu.ops.conv3d_packed as cp
+from wdno_tpu.ops.conv_dw_pallas import conv_dw_fused, conv_dw_packed, pick_nb
+
+
+def _oracle_dk2(x5, g5, k):
+    """dk2 [kh, kw, ci, kd*co] via jax.vjp of the packed conv (the XLA path
+    in conv3d_packed._pc_bwd)."""
+    kd, kh, kw, ci, co = k.shape
+    b, f, h, w, _ = x5.shape
+    ctr = kd // 2
+    gp5 = jnp.concatenate(
+        [cp._shift_frames(g5, ctr - dt) for dt in range(kd)], axis=-1)
+    gpack = gp5.reshape(b * f, h, w, kd * co)
+    xf = x5.reshape(b * f, h, w, ci)
+    k2 = k.transpose(1, 2, 3, 0, 4).reshape(kh, kw, ci, kd * co)
+    _, wgrad = jax.vjp(lambda kk: cp._conv2d(xf, kk), k2)
+    (dk2,) = wgrad(gpack)
+    return dk2, gpack, xf
+
+
+@pytest.mark.parametrize("khw", [(3, 3), (1, 3)])
+def test_conv_dw_fused_matches_oracle(khw):
+    kh, kw = khw
+    rng = np.random.default_rng(0)
+    b, f, h, w, ci, co, kd = 2, 5, 8, 8, 16, 8, 3
+    x5 = jnp.asarray(rng.standard_normal((b, f, h, w, ci)), jnp.float32)
+    g5 = jnp.asarray(rng.standard_normal((b, f, h, w, co)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kd, kh, kw, ci, co)), jnp.float32)
+    ref, _, xf = _oracle_dk2(x5, g5, k)
+    out = conv_dw_fused(xf, g5.reshape(b * f, h, w, co), kh=kh, kw=kw, f=f)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("kd,khw", [(7, (7, 7)), (1, (3, 3)), (3, (3, 3))])
+def test_conv_dw_packed_matches_oracle(kd, khw):
+    kh, kw = khw
+    rng = np.random.default_rng(1)
+    b, f, h, w, ci, co = 2, 4, 8, 8, 8, 8
+    x5 = jnp.asarray(rng.standard_normal((b, f, h, w, ci)), jnp.float32)
+    g5 = jnp.asarray(rng.standard_normal((b, f, h, w, co)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kd, kh, kw, ci, co)), jnp.float32)
+    ref, gpack, xf = _oracle_dk2(x5, g5, k)
+    out = conv_dw_packed(xf, gpack, kh=kh, kw=kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_packed_conv3d_grads_with_dw_kernel(monkeypatch):
+    """Full packed_conv3d VJP with the Pallas dW engaged vs disabled: dk
+    must agree to f32 tolerance, dx/dbias must be untouched."""
+    rng = np.random.default_rng(2)
+    b, f, h, w, ci, co, kd = 2, 5, 8, 8, 16, 8, 3
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((kd, 3, 3, ci, co)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+
+    def loss(x, k, bias):
+        return (cp.packed_conv3d(x, k, bias) ** 2).sum()
+
+    monkeypatch.setenv("WDNO_CONV_DW", "0")
+    with jax.disable_jit():
+        ref = jax.grad(loss, argnums=(0, 1, 2))(x, k, bias)
+        monkeypatch.setenv("WDNO_CONV_DW", "1")
+        new = jax.grad(loss, argnums=(0, 1, 2))(x, k, bias)
+    # accumulation order differs (per-block f32 adds vs XLA's reduction
+    # tree); observed max rel ~3.5e-4 at |dk| ~ 1.5e3 on the squared loss
+    for a, b_ in zip(ref, new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_pick_nb_divides_and_fits():
+    nb = pick_nb(144, 40, 40, 64, 192, 3, 3, 2, fuse_co=64)
+    assert nb > 0 and 144 % nb == 0
+    # absurd budget -> no fit
+    assert pick_nb(144, 40, 40, 64, 192, 3, 3, 2, budget=1024) == 0
+
+
+def test_native_conv3d_pdw_grads_match_plain_ad(monkeypatch):
+    """native_conv3d_pdw (native fwd/dx + Pallas dW) vs plain AD of the
+    native conv: all grads must agree to f32 tolerance."""
+    monkeypatch.setenv("WDNO_CONV_DW", "1")
+    rng = np.random.default_rng(4)
+    b, f, h, w, ci, co = 2, 4, 8, 8, 16, 8
+    x = jnp.asarray(rng.standard_normal((b, f, h, w, ci)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, ci, co)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+
+    def loss_ref(x, k, bias):
+        y = cp._conv3d_native(x, k) + bias
+        return (y ** 2).sum()
+
+    def loss_new(x, k, bias):
+        return (cp.native_conv3d_pdw(x, k, bias) ** 2).sum()
+
+    with jax.disable_jit():
+        ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, k, bias)
+        new = jax.grad(loss_new, argnums=(0, 1, 2))(x, k, bias)
+    for a, b_ in zip(ref, new):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-3, atol=1e-3)

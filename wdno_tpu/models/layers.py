@@ -138,7 +138,21 @@ class TemporalDecompConv3d(nn.Module):
             or (env == "narrow" and (kd >= 7 or (kd > 1 and self.features < 128)))
         )
         if not use_decomp:
-            # native XLA conv3d lowering (same params)
+            # native XLA conv3d lowering for fwd/dx; the 3-tap stride-1 SAME
+            # convs additionally swap in the Pallas fused-tap weight-grad
+            # (ops/conv_dw_pallas.py) — XLA's wgrad is the one slow leg of
+            # the native lowering (r2 profile: 50.9 TF/s)
+            if (
+                kd == 3
+                and self.strides == (1, 1, 1)
+                and self.padding == "SAME"
+                and env != "0"
+            ):
+                from ..ops.conv3d_packed import native_conv3d_pdw
+
+                return native_conv3d_pdw(
+                    x.astype(self.dtype), jnp.asarray(kernel, self.dtype),
+                    jnp.asarray(bias, self.dtype) if self.use_bias else None)
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NDHWC", "DHWIO", "NDHWC"))
             pad = self.padding if self.padding == "SAME" else tuple(
