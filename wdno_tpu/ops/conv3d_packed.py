@@ -187,7 +187,7 @@ def _pc_bwd(res, g):
     if dk2 is None and _use_dw_pallas():
         from .conv_dw_pallas import conv_dw_packed, pick_nb
 
-        if pick_nb(b * f, h, w, ci, kd * co, kh, kw, x.dtype.itemsize):
+        if pick_nb(b * f, h, w, ci, kd * co, kh, kw, x.dtype.itemsize) >= 2:
             if os.environ.get("WDNO_DW_DEBUG"):
                 print(f"[dw] packed site x={xf.shape} ncols={kd * co} kh={kh} "
                       f"kw={kw} nb={pick_nb(b * f, h, w, ci, kd * co, kh, kw, x.dtype.itemsize)}",

@@ -58,8 +58,9 @@ __all__ = ["conv_dw_fused", "conv_dw_packed", "pick_nb"]
 
 # Calibrated on chip: Mosaic's stack temporaries roughly double the
 # analytic model against the 16 MB scoped-VMEM hard limit — 9 MB (nb=6 at
-# the level-0 site) still OOM'd, 7 MB (nb=4 there) compiles and runs.
-_VMEM_BUDGET = int(os.environ.get("WDNO_DW_VMEM", 7 * 1024 * 1024))
+# the level-0 site) OOM'd; 7.5 MB (nb=4 there, nb=2 at the 128-in decoder
+# site) compiles and measured fastest (bench 7.566 vs 7.543 at 7 MB).
+_VMEM_BUDGET = int(os.environ.get("WDNO_DW_VMEM", 7864320))
 
 
 def _on_tpu() -> bool:
