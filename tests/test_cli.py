@@ -415,3 +415,23 @@ def test_cli_smoke_super_pipeline_with_supplemental_levels(tmp_path):
     for lvl in (0, 1):
         assert os.path.exists(os.path.join(
             data, f"states_bior1.3_zero_space_super_lvl{lvl}.npy"))
+
+
+def test_sim_eval_frames_stride_handling():
+    """Sim-task frame selection: a stride-1 recorded split (257 frames, the
+    control re-simulation protocol) must be subsampled to the training
+    record stride 8 — the first 32 raw frames are a different temporal
+    window than the stride-8 frames the model trained on; an
+    already-strided 33-frame split passes through unchanged."""
+    from wdno_tpu.cli import _sim_eval_frames
+
+    frames = np.arange(257)
+    raw = np.broadcast_to(frames[None, :, None, None, None],
+                          (2, 257, 6, 8, 8))
+    out = np.asarray(_sim_eval_frames(raw, 32))
+    assert out.shape == (2, 32, 6, 8, 8)
+    np.testing.assert_array_equal(out[0, :, 0, 0, 0], np.arange(0, 256, 8))
+
+    strided = raw[:, ::8]  # 33 frames, as datagen --record_stride 8 writes
+    out2 = np.asarray(_sim_eval_frames(strided, 32))
+    np.testing.assert_array_equal(out2, out)

@@ -915,6 +915,15 @@ def cmd_train_smoke(args):
     _train_with_loaders(args, gds, state, cfg, shard_paths, loaders=loaders)
 
 
+def _sim_eval_frames(chunk, n_frames: int):
+    """Frames for the sim-task metric: subsample a stride-1 recording
+    (>= 8*n_frames frames) down to the training record stride 8; shorter
+    (already-strided) splits pass through.  Returns [B, n_frames, ...]."""
+    if chunk.shape[1] >= 8 * n_frames:
+        chunk = chunk[:, ::8]
+    return chunk[:, :n_frames]
+
+
 def cmd_eval_smoke(args):
     import jax
     import jax.numpy as jnp
@@ -1035,14 +1044,21 @@ def cmd_eval_smoke(args):
         chunk = jnp.asarray(test_state[i : i + args.batch_eval])
         rng = jax.random.PRNGKey(start + i)
         if is_sim:
+            # A stride-1 recorded split (the control protocol's 257-frame
+            # recording, needed for re-simulation) must be subsampled to
+            # the TRAINING record stride before frame slicing — the first
+            # 32 raw frames are a different temporal window than the 32
+            # stride-8 frames the model trained on.  A stride-8 split
+            # (33 frames) passes through unchanged.
+            sim_chunk = _sim_eval_frames(chunk, n_frames)
             r = eval_smoke_sim(gd, state.ema_params, rng, ecfg,
-                               test_state=chunk[:, :n_frames], channels=C,
+                               test_state=sim_chunk, channels=C,
                                mesh=eval_mesh)
             if gd_super is not None:
                 outs = smoke_super_res_chain(
                     gd_super, state_super.ema_params, jax.random.PRNGKey(10_000 + start + i),
                     ecfg_super, jnp.asarray(r["coef"]),
-                    test_state_hi=chunk[:, :32], n_levels=args.upsample,
+                    test_state_hi=_sim_eval_frames(chunk, 32), n_levels=args.upsample,
                     channels=C_super, base_pred=jnp.asarray(r["pred"]),
                 )
                 for k2, rr in enumerate(outs):
