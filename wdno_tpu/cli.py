@@ -757,12 +757,12 @@ def cmd_train_smoke(args):
     db = None
 
     # The super model at level l conditions on level l+1, so training
-    # levels 0..n_downsample-1 needs coefficient levels 0..n_downsample.
-    # Levels beyond the main npz come from supplemental `_lvlA-B` blobs
-    # (prep-smoke --levels): level 0 alone is 33 GB on the reference-budget
-    # split, so the prep appends new levels in a second file instead of
-    # rewriting the first.
-    need = args.n_downsample + (1 if args.super_model else 0)
+    # levels 0..n_downsample-1 needs coefficient levels 0..n_downsample;
+    # the base model trains level 0 only.  Levels beyond the main npz come
+    # from supplemental `_lvlA-B` blobs (prep-smoke --levels): level 0
+    # alone is 33 GB on the reference-budget split, so the prep appends
+    # new levels in a second file instead of rewriting the first.
+    need = (args.n_downsample + 1) if args.super_model else 1
     sup_level_src = {}  # absolute level -> (path, position-in-file)
     if need > n:
         import glob as _glob
