@@ -24,6 +24,18 @@ if [ "$free_gb" -lt 36 ]; then
   echo "[r4] only ${free_gb} GB free; smoke super states need ~33 GB"; exit 1
 fi
 export WDNO_REFRESH_GB=${WDNO_REFRESH_GB:-20}
+# Build the per-level states caches in a throwaway process first: the
+# chunked build moves ~25 GB through the tunnel client, ~95% of which
+# leaks into that process's RSS for its lifetime — the trainer must not
+# inherit it.
+if [ ! -e data/2d/states_bior1.3_zero_space_super_n2000_lvl0.npy ]; then
+  wait_for_tpu
+  timeout 3600 python -m wdno_tpu.cli train-smoke --data data/2d \
+      --exp super_smoke_states --super_model True --condition_control True \
+      --n_downsample 2 --max_train_samples 2000 --states_only --overwrite \
+      || exit 1
+  rm -rf results/super_smoke_states
+fi
 train_to super_smoke train-smoke --ema_only 300000 --data data/2d \
     --super_model True --condition_control True --n_downsample 2 \
     --max_train_samples 2000
