@@ -7,6 +7,17 @@
 # failures it is parked as .skipped and the queue moves on (a dead stage
 # must never idle the chip while later stages are pending).
 cd "$(dirname "$0")/.."
+# Single-runner lock: a leftover runner from a previous session sleeping in
+# its queue-empty loop will otherwise wake up and race this one over the
+# same stages (observed r4: two trainers on one experiment dir for 2 h —
+# halved throughput and risked torn orbax milestones).
+if [ -e /tmp/campaign_r3.pid ]; then
+  old=$(cat /tmp/campaign_r3.pid)
+  if [ -n "$old" ] && [ "$old" != "$$" ] && kill -0 "$old" 2>/dev/null; then
+    echo "[r3] another runner (pid $old) is alive; refusing to start"
+    exit 1
+  fi
+fi
 echo $$ > /tmp/campaign_r3.pid
 mkdir -p logs/stamps artifacts/eval results
 MAX_TRIES=${MAX_TRIES:-5}
