@@ -104,8 +104,13 @@ train_to() {
     wait_for_tpu
     flags="--resume"
     if [ ! -d "results/$exp" ]; then flags="--overwrite"; fi
+    # ckpt_every 10000 (was 5000): each milestone's device_get moves the
+    # full f32 train state through the 1.24 GB/s tunnel and stalls the
+    # dispatch queue for minutes (observed 16:12-16:20 hang around the
+    # step-80000 save); watchdog kills are rare now, so wider milestones
+    # cost little expected loss
     watched_attempt "$exp" "$expflags" python -m wdno_tpu.cli "$subcmd" \
-        --exp "$exp" --steps "$steps" --ckpt_every 5000 $flags "$@"
+        --exp "$exp" --steps "$steps" --ckpt_every 10000 $flags "$@"
     rc=$?
     if [ "$rc" = 0 ]; then break; fi
     WDNO_PLATFORM=cpu python -m wdno_tpu.cli export-ckpt --exp "$exp" $expflags \
