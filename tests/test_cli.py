@@ -402,16 +402,26 @@ def test_cli_smoke_super_pipeline_with_supplemental_levels(tmp_path):
     assert os.path.exists(
         os.path.join(data, "coef_bior1.3_zero_space_lvl1-2_train.npz"))
 
-    main(["train-smoke", "--data", data, "--results", results,
-          "--exp", "cli_smoke_super", "--super_model", "True",
-          "--condition_control", "True", "--n_downsample", "2",
-          "--dim", "8", "--dim_mults", "1", "2", "--batch", "8",
-          "--steps", "2", "--timesteps", "8", "--bf16", "False",
-          "--log_every", "1", "--ckpt_every", "0"])
+    common = ["--data", data, "--results", results,
+              "--super_model", "True", "--condition_control", "True",
+              "--n_downsample", "2", "--dim", "8", "--dim_mults", "1", "2",
+              "--batch", "8", "--steps", "2", "--timesteps", "8",
+              "--bf16", "False", "--log_every", "1", "--ckpt_every", "0"]
+    # default path: STREAMING aligned-slab reservoirs (no states caches)
+    main(["train-smoke", "--exp", "cli_smoke_super_stream"] + common)
+    m = [json.loads(l) for l in
+         open(os.path.join(results, "cli_smoke_super_stream", "metrics.jsonl"))]
+    assert m and np.isfinite(m[-1]["loss"])
+    for lvl in (0, 1):
+        assert not os.path.exists(os.path.join(
+            data, f"states_bior1.3_zero_space_super_lvl{lvl}.npy"))
+
+    # --host_data: materialized per-level states caches (the r4 campaign
+    # fallback)
+    main(["train-smoke", "--exp", "cli_smoke_super", "--host_data"] + common)
     m = [json.loads(l) for l in
          open(os.path.join(results, "cli_smoke_super", "metrics.jsonl"))]
     assert m and np.isfinite(m[-1]["loss"])
-    # both training levels materialized their states caches
     for lvl in (0, 1):
         assert os.path.exists(os.path.join(
             data, f"states_bior1.3_zero_space_super_lvl{lvl}.npy"))

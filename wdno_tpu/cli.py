@@ -835,12 +835,34 @@ def cmd_train_smoke(args):
     # fits HBM nor survives per-step tunnel transfers (the client leaks
     # ~95% of transferred bytes into host RSS); the reservoir bounds both.
     stream = (
-        not args.super_model
-        and not getattr(args, "states_only", False)
+        not getattr(args, "states_only", False)
         and not getattr(args, "host_data", False)
         and not os.path.exists(os.path.join(args.data, f"states_{tag}_lvl0.npy"))
+        # super streaming needs every coefficient level resolvable (main
+        # npz or supplemental blobs — validated above)
+        and (not args.super_model or all(
+            lvl < n or lvl in sup_level_src for lvl in range(need)))
     )
-    if stream:
+    if stream and args.super_model:
+        # one aligned-slab reservoir per training level: level-l target +
+        # level-l+1 condition gathered for the same scenes, 82-channel
+        # states built in the jitted gather (no states caches on disk)
+        for lvl in levels:
+            shape = [int(v) for v in _level_meta(lvl, "shape")]
+            if ds_type == "time":
+                st = (24 // 2 ** lvl, 40, 40, 82)
+                cs = [shape[0] + 2, shape[1], shape[2]]
+            else:
+                st = (24, 40 // 2 ** lvl, 40 // 2 ** lvl, 82)
+                cs = [shape[0], shape[1] + 2, shape[2] + 2]
+            state_shapes.append(st)
+            specs.append(smoke_spec(
+                st, cs, is_condition_control=args.condition_control,
+                is_super_model=True,
+                is_condition_pad=getattr(args, "condition_pad", True),
+            ))
+            print(f"level {lvl}: streaming super reservoir {shape} -> {st}")
+    elif stream:
         shape = [int(v) for v in np.asarray(z["shape"])[0]]
         # The streaming transform pads coefficients to the fixed published
         # state geometry; a nonstandard prep (larger nt'/nx') would only
@@ -851,7 +873,7 @@ def cmd_train_smoke(args):
             print(f"coef shape {shape} exceeds streaming pad targets {pads}; "
                   "using the materialized states path")
             stream = False
-    if stream:
+    if stream and not args.super_model:
         state_shapes = [(24, 40, 40, 42)]
         specs = [smoke_spec(
             state_shapes[0], shape, is_condition_control=args.condition_control,
@@ -901,7 +923,9 @@ def cmd_train_smoke(args):
     state = create_train_state(params, cfg)
     loaders = None
     if stream:
-        from .data.smoke_data import make_streaming_smoke_loader
+        from .data.smoke_data import (
+            make_streaming_smoke_loader, make_streaming_smoke_super_loader,
+        )
 
         rkw = {}
         for env, key, mul in (("WDNO_RESERVOIR_GB", "device_budget_bytes", 1e9),
@@ -909,9 +933,33 @@ def cmd_train_smoke(args):
                               ("WDNO_REFRESH_S", "refresh_interval_s", 1.0)):
             if os.environ.get(env):
                 rkw[key] = float(os.environ[env]) * mul
-        loaders = [make_streaming_smoke_loader(
-            path, args.batch, rescaler=rescaler, seed=args.seed,
-            max_items=maxn, **rkw)]
+        if args.super_model:
+            sources = {}
+            for lvl in range(need):
+                sources[lvl] = (path, lvl) if lvl < n else sup_level_src[lvl]
+            # split the device/refresh budgets across levels by their
+            # (target + condition) row bytes — level 0 dominates ~4:1
+            row_b = []
+            for lvl in levels:
+                b = 0
+                for l2 in (lvl, lvl + 1):
+                    b += int(np.prod(_level_meta(l2, "shape"))) * 40 * 4
+                row_b.append(b)
+            tot_b = sum(row_b)
+            loaders = []
+            for i, lvl in enumerate(levels):
+                lkw = dict(rkw)
+                for key in ("device_budget_bytes", "refresh_budget_bytes"):
+                    if key in lkw:
+                        lkw[key] = lkw[key] * row_b[i] / tot_b
+                loaders.append(make_streaming_smoke_super_loader(
+                    sources, lvl, args.batch, rescaler=rescaler,
+                    downsample_type=ds_type, seed=args.seed + lvl,
+                    max_items=maxn, **lkw))
+        else:
+            loaders = [make_streaming_smoke_loader(
+                path, args.batch, rescaler=rescaler, seed=args.seed,
+                max_items=maxn, **rkw)]
     _train_with_loaders(args, gds, state, cfg, shard_paths, loaders=loaders)
 
 

@@ -294,12 +294,23 @@ class ReservoirLoader:
         import jax
         import jax.numpy as jnp
 
-        self._src = source
-        if source.ndim < 2 or source.shape[0] == 0:
-            raise ValueError("source must be [N, ...] with N > 0")
-        self.n_items = int(source.shape[0])
+        # ``source`` may be a tuple of first-dim-ALIGNED arrays (the smoke
+        # super model samples coefficient level l and its level-l+1
+        # condition for the SAME scene): every slab then holds the same ids
+        # across all sources, refreshed together, and ``transform`` receives
+        # one row-batch per source.
+        self._srcs = tuple(source) if isinstance(source, (tuple, list)) else (source,)
+        self._multi = isinstance(source, (tuple, list))
+        for s in self._srcs:
+            if s.ndim < 2 or s.shape[0] == 0:
+                raise ValueError("each source must be [N, ...] with N > 0")
+            if s.shape[0] != self._srcs[0].shape[0]:
+                raise ValueError("sources must be first-dim aligned")
+        self.n_items = int(self._srcs[0].shape[0])
         self.batch_size = int(batch_size)
-        row_bytes = int(np.prod(source.shape[1:], dtype=np.int64)) * source.dtype.itemsize
+        row_bytes = sum(
+            int(np.prod(s.shape[1:], dtype=np.int64)) * s.dtype.itemsize
+            for s in self._srcs)
         if slab_items is None:
             slab_items = max(self.batch_size,
                              int(device_budget_bytes / (n_slabs * row_bytes)))
@@ -331,7 +342,8 @@ class ReservoirLoader:
         # large minor dim stores at the true size (same trick as
         # DeviceResidentLoader).  Rows are reshaped after the on-device
         # gather, where the padded footprint is only batch-sized.
-        self.item_shape = tuple(source.shape[1:])
+        self._item_shapes = tuple(tuple(s.shape[1:]) for s in self._srcs)
+        self.item_shape = self._item_shapes[0]
         self._aux_shapes = tuple(tuple(np.asarray(a).shape[1:]) for a in aux)
         self._aux = tuple(
             jax.device_put(np.ascontiguousarray(a).reshape(len(a), -1))
@@ -346,17 +358,19 @@ class ReservoirLoader:
         if transform is None:
             def transform(rows, gids, *_aux):
                 return rows
-        item_shape, aux_shapes = self.item_shape, self._aux_shapes
+        item_shapes, aux_shapes = self._item_shapes, self._aux_shapes
 
-        def _sample(slab, gids, idx, *aux_arrs):
-            rows = jnp.take(slab, idx, axis=0)
-            rows = rows.reshape((idx.shape[0],) + item_shape)
+        def _sample(slabs, gids, idx, *aux_arrs):
+            rows = tuple(
+                jnp.take(s, idx, axis=0).reshape((idx.shape[0],) + sh)
+                for s, sh in zip(slabs, item_shapes)
+            )
             gid = jnp.take(gids, idx, axis=0)
             aux_rows = tuple(
                 jnp.take(a, gid, axis=0).reshape((idx.shape[0],) + sh)
                 for a, sh in zip(aux_arrs, aux_shapes)
             )
-            return transform(rows, gid, *aux_rows)
+            return transform(*rows, gid, *aux_rows)
 
         self._sample = jax.jit(_sample)
 
@@ -384,12 +398,16 @@ class ReservoirLoader:
         import jax
 
         order = np.sort(ids)  # sorted gather = sequential-ish memmap reads
-        rows = np.ascontiguousarray(self._src[order]).reshape(len(order), -1)
-        dev = jax.device_put(rows)
+        devs = []
+        for src in self._srcs:
+            rows = np.ascontiguousarray(src[order]).reshape(len(order), -1)
+            dev = jax.device_put(rows)
+            dev.block_until_ready()
+            self.transferred_bytes += rows.nbytes
+            devs.append(dev)
         gid = jax.device_put(order.astype(np.int32))
-        dev.block_until_ready()
-        self.transferred_bytes += rows.nbytes + gid.nbytes
-        return dev, gid
+        self.transferred_bytes += gid.nbytes
+        return tuple(devs), gid
 
     def _refresh_loop(self):
         cursor = 0

@@ -407,6 +407,94 @@ def smoke_states_transform(rescaler: np.ndarray, pad_t: int = 24, pad_x: int = 4
     return fn
 
 
+def smoke_super_states_transform(rescaler: np.ndarray, level: int,
+                                 downsample_type: str = "space"):
+    """Jittable 82-channel SUPER states builder — the streaming twin of
+    :func:`build_smoke_states` with ``is_super_model=True`` (asserted
+    bit-equal in tests).
+
+    ``fn(w, w_sub, gids, init, sm)`` maps aligned gathers of level-``level``
+    coefficients ``w [B, nt, nx, nx, 40]``, level-``level+1`` coefficients
+    ``w_sub`` (the refinement condition), and the per-scene conditioning
+    rows to padded states ``[B, pad_t, pad_x, pad_x, 82]`` entirely on
+    device — the materialized path writes ~16 MB/scene/level of states
+    caches to disk (31 GB at maxn=2000; 157 GB for the full split), which
+    the reference-budget host does not have.
+    """
+    if downsample_type == "time":
+        pad_t, pad_x = 24 // 2 ** level, 40
+    else:
+        pad_t, pad_x = 24, 40 // 2 ** level
+    r = jnp.asarray(np.asarray(rescaler).reshape(1, 1, 1, 1, -1))
+    n_rep = pad_t // 4
+
+    def fn(w: Array, w_sub: Array, gids: Array, init: Array, sm: Array) -> Array:
+        del gids
+        n = w.shape[0]
+        if downsample_type == "space":
+            low = P.upsample_coef3d(w_sub, "space", axes=(1, 2, 3))
+            cur = jnp.pad(w, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+        else:
+            low = P.upsample_coef3d(w_sub, "time", axes=(1, 2, 3))
+            cur = jnp.concatenate([w[:, :1], w, w[:, -1:]], axis=1)
+        data = jnp.concatenate([cur, low], axis=-1)
+        data = P.pad_to(data, (pad_t, pad_x, pad_x), axes=(1, 2, 3))
+        cond = jnp.repeat(jnp.moveaxis(init, 3, 1), n_rep, axis=1)
+        cond = P.pad_to(cond, (pad_x, pad_x), axes=(2, 3))[..., None]
+        ns = sm.shape[1]
+        half = pad_x // 2
+        top = jnp.broadcast_to(sm[:, :, 0][:, :, None, None], (n, ns, half, pad_x))
+        bot = jnp.broadcast_to(sm[:, :, 1][:, :, None, None], (n, ns, half, pad_x))
+        sm_img = jnp.concatenate([top, bot], axis=2)
+        sm_img = P.pad_to(sm_img, (pad_t,), axes=(1,))[..., None]
+        return jnp.concatenate([data, cond, sm_img], axis=-1) / r
+
+    return fn
+
+
+def make_streaming_smoke_super_loader(
+    sources: Dict[int, Tuple[str, int]],
+    level: int,
+    batch_size: int,
+    *,
+    rescaler: np.ndarray,
+    downsample_type: str = "space",
+    seed: int = 0,
+    max_items: Optional[int] = None,
+    **reservoir_kw,
+):
+    """Streaming reservoir loader for one SUPER training level.
+
+    ``sources`` maps absolute coefficient level -> ``(npz_path, position)``
+    (the two-file layout: level 0 in the 33 GB streaming blob, levels 1+
+    in the supplemental ``_lvlA-B`` npz).  The reservoir holds ALIGNED
+    slabs of level ``level`` and ``level+1`` coefficients (same scene ids,
+    refreshed together) plus device-resident init/smoke-out tables, and
+    builds 82-channel states in the jitted gather.
+    """
+    from .loader import ReservoirLoader, npz_member_memmap
+
+    def member(lvl, name):
+        path, pos = sources[lvl]
+        try:
+            return npz_member_memmap(path, f"{name}_{pos}")
+        except ValueError:
+            return np.load(path)[f"{name}_{pos}"]
+
+    w = member(level, "coef")
+    w_sub = member(level + 1, "coef")
+    init_all = np.asarray(member(level, "init"))
+    sm_all = np.asarray(member(level, "smokeout"))
+    if max_items:
+        w, w_sub = w[:max_items], w_sub[:max_items]
+        init_all, sm_all = init_all[:max_items], sm_all[:max_items]
+    fn = smoke_super_states_transform(rescaler, level, downsample_type)
+    return ReservoirLoader(
+        (w, w_sub), batch_size, transform=fn, aux=(init_all, sm_all),
+        seed=seed, **reservoir_kw,
+    )
+
+
 def make_streaming_smoke_loader(
     coef_path: str,
     batch_size: int,
