@@ -216,3 +216,37 @@ def test_global_batch_from_host_local_single_process():
     np.testing.assert_array_equal(np.asarray(arr), local)
     # genuinely sharded over 'data'
     assert len(arr.sharding.device_set) == jax.device_count()
+
+
+def test_trainer_logs_frozen_reservoir(tmp_path):
+    """ADVICE r3: when a streaming reservoir exhausts its refresh byte
+    budget mid-run, the freeze must be visible in metrics.jsonl (a
+    background-thread print is invisible post-hoc) — every record from the
+    freeze on carries reservoir_frozen=1."""
+    import json
+
+    gd = _make_gd()
+    cfg = TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                      train_num_steps=10, ema_update_after_step=0)
+    params = _MLP.init(None, (4, 4, 2))
+
+    class _Loader:
+        frozen = False
+
+        def __iter__(self):
+            rng = np.random.default_rng(0)
+            n = 0
+            while True:
+                n += 1
+                if n == 4:
+                    self.frozen = True  # budget ran out after 3 batches
+                yield rng.standard_normal((8, 4, 4, 2)).astype(np.float32)
+
+    ld = _Loader()
+    tr = Trainer(gd, iter(ld), cfg, params, str(tmp_path), save_every=0,
+                 log_every=2, loaders=[ld])
+    tr.train(10)
+    recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    flags = [r.get("reservoir_frozen", 0) for r in recs]
+    assert flags[-1] == 1.0          # frozen state visible at the end
+    assert 0 in flags                # and absent before the freeze
