@@ -254,7 +254,11 @@ def _measure():
         spec=spec,
         loss_channel_weight=smoke_wavelet_rescaler("bior1.3"),
     )
-    cfg = TrainConfig(learning_rate=1e-3, lr_schedule="multistep")
+    cfg = TrainConfig(
+        learning_rate=1e-3,
+        lr_schedule="multistep",
+        flat_opt=bool(int(os.environ.get("WDNO_FLAT_OPT", "0"))),
+    )
     tstate = create_train_state(params, cfg)
     step = jax.jit(make_train_step(gd, cfg), donate_argnums=(0,))
 

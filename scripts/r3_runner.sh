@@ -11,6 +11,16 @@ cd "$(dirname "$0")/.."
 # its queue-empty loop will otherwise wake up and race this one over the
 # same stages (observed r4: two trainers on one experiment dir for 2 h —
 # halved throughput and risked torn orbax milestones).
+# ADVICE r4: the old read-check-then-echo acquisition was racy (two
+# near-simultaneous runners could both pass the kill -0 check).  flock on a
+# dedicated lock fd is atomic and held for the runner's lifetime; the
+# legacy pidfile liveness check stays so a new-script runner still refuses
+# to race an old-script runner that predates the flock protocol.
+exec 9>/tmp/campaign_r3.lock
+if ! flock -n 9; then
+  echo "[r3] another runner holds /tmp/campaign_r3.lock; refusing to start"
+  exit 1
+fi
 if [ -e /tmp/campaign_r3.pid ]; then
   old=$(cat /tmp/campaign_r3.pid)
   if [ -n "$old" ] && [ "$old" != "$$" ] && kill -0 "$old" 2>/dev/null; then

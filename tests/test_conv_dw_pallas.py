@@ -90,6 +90,9 @@ def test_native_conv3d_pdw_grads_match_plain_ad(monkeypatch):
     """native_conv3d_pdw (native fwd/dx + Pallas dW) vs plain AD of the
     native conv: all grads must agree to f32 tolerance."""
     monkeypatch.setenv("WDNO_CONV_DW", "1")
+    # ADVICE r4: the Pallas branch in _ncp_bwd is ALSO gated on
+    # WDNO_DW_NATIVE — without it this test compared plain AD to plain AD.
+    monkeypatch.setenv("WDNO_DW_NATIVE", "1")
     rng = np.random.default_rng(4)
     b, f, h, w, ci, co = 2, 4, 8, 8, 16, 8
     x = jnp.asarray(rng.standard_normal((b, f, h, w, ci)), jnp.float32)

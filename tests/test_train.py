@@ -96,6 +96,33 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 60
 
 
+def test_flat_opt_step_identical_to_tree_opt():
+    """flat_opt=True (optax.flatten'd chain, HBM-dense moment storage) must
+    produce bit-identical updates: global-norm clip over the concatenated
+    vector equals global-norm over the tree, and Adam is elementwise."""
+    gd = _make_gd()
+    params = _MLP.init(None, (4, 4, 2))
+    batch = jax.random.normal(jax.random.PRNGKey(2), (16, 4, 4, 2))
+    rng = jax.random.PRNGKey(3)
+
+    outs = []
+    for flat in (False, True):
+        cfg = TrainConfig(learning_rate=1e-2, lr_schedule="constant",
+                          ema_update_after_step=0, flat_opt=flat)
+        state = create_train_state(params, cfg)
+        step = jax.jit(make_train_step(gd, cfg))
+        for i in range(3):
+            state, m = step(state, batch, jax.random.fold_in(rng, i))
+        outs.append((state, float(m["loss"])))
+
+    (tree_state, tree_loss), (flat_state, flat_loss) = outs
+    np.testing.assert_allclose(flat_loss, tree_loss, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(tree_state.params),
+                    jax.tree_util.tree_leaves(flat_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_gradient_accumulation_equivalence():
     """accum=2 over a doubled batch should roughly match accum=1 gradients."""
     gd = _make_gd()

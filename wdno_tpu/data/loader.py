@@ -356,6 +356,16 @@ class ReservoirLoader:
             self._slabs.append(self._upload(ids))
 
         if transform is None:
+            # ADVICE r4: with a tuple source the default transform's
+            # positional signature would silently bind source-b rows to the
+            # gid argument — a multi-source loader only makes sense with an
+            # explicit transform that consumes every row-batch.
+            if self._multi:
+                raise ValueError(
+                    "multi-source reservoir requires an explicit transform "
+                    "(the default would drop all sources after the first)"
+                )
+
             def transform(rows, gids, *_aux):
                 return rows
         item_shapes, aux_shapes = self._item_shapes, self._aux_shapes

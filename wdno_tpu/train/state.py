@@ -51,6 +51,13 @@ class TrainConfig:
     ema_update_after_step: int = 100
     train_num_steps: int = 100_000
     gradient_accumulate_every: int = 1
+    # Store Adam moments as ONE flat f32 vector (optax.flatten): the tree
+    # form's (8,128)-tiled leaves pad the many co=64 conv kernels 2x in
+    # HBM, so the fused optimizer update reads/writes ~2x the true bytes
+    # (measured 260 GB/s effective on the 5.1 ms Adam+EMA fusion).  Opt-in
+    # because it changes the opt_state checkpoint structure — resumed
+    # experiments must keep the value they were created with.
+    flat_opt: bool = False
 
 
 def _lr_fn(cfg: TrainConfig):
@@ -71,11 +78,14 @@ def _lr_fn(cfg: TrainConfig):
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
         optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2),
         optax.scale_by_learning_rate(_lr_fn(cfg)),
     )
+    # flatten wraps the whole chain: global-norm over the concatenated
+    # vector equals global-norm over the tree, so updates are identical.
+    return optax.flatten(tx) if cfg.flat_opt else tx
 
 
 def create_train_state(params: Params, cfg: TrainConfig) -> TrainState:
