@@ -274,6 +274,10 @@ def _stub_burgers_diffusion_deps():
     if "IPython" not in sys.modules:
         m = types.ModuleType("IPython")
         m.embed = lambda *a, **k: None
+        # matplotlib's FigureCanvasBase._fix_ipython_backend2gui inspects
+        # sys.modules["IPython"].version_info — a stub without it broke the
+        # viz tests later in the same pytest process (r5 full-suite run).
+        m.version_info = (8, 30, 0)
         sys.modules["IPython"] = m
     if "matplotlib" not in sys.modules:
         try:
