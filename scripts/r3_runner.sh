@@ -33,7 +33,7 @@ mkdir -p logs/stamps artifacts/eval results
 MAX_TRIES=${MAX_TRIES:-5}
 while true; do
   next=""
-  for s in scripts/r3_queue.d/[0-9]*.sh; do
+  for s in ${QUEUE_DIR:-scripts/r3_queue.d}/[0-9]*.sh; do
     [ -e "$s" ] || continue
     base=$(basename "$s" .sh)
     [ -e "logs/stamps/$base.done" ] && continue

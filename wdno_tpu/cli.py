@@ -504,7 +504,7 @@ def cmd_eval_burgers(args):
             ns_sup, [st_s.shape[1:]], [cs_s], res_sup
         )
         state_super = ckpt.restore(
-            os.path.abspath(os.path.join(sup_dir, f"model-{args.super_checkpoint}")),
+            _resolve_checkpoint(sup_dir, args.super_checkpoint),
             jax.device_get(state_super),
         )
         gd_super = gds_s[0]
@@ -1080,7 +1080,7 @@ def cmd_eval_smoke(args):
         params_s = jax.jit(model_s.init)(jax.random.PRNGKey(0), x0s, jnp.zeros((1,), jnp.int32))
         state_super = create_train_state(params_s, TrainConfig())
         state_super = ckpt.restore(
-            os.path.abspath(os.path.join(sup_dir, f"model-{args.super_checkpoint}")),
+            _resolve_checkpoint(sup_dir, args.super_checkpoint),
             jax.device_get(state_super),
         )
         ecfg_super = _dc.replace(ecfg, rescaler=res_sup)
