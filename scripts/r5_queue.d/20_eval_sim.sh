@@ -5,7 +5,9 @@
 # /root/reference/smoke/inference_2d.py:428-445 + scripts/smoke/
 # inf_base_sim.sh — subset size recorded honestly in RESULTS.md),
 # DDIM-100, vs the seed-offset test_sim split.  Model: base_sim_smoke
-# imported from the r4 export (step ~52.5k of the 200k reference budget).
+# imported from the r4 round-end export (step 90k of the 200k reference
+# budget — the round-end periodic export caught ~37k more steps than the
+# stale metrics copy in artifacts/train_metrics suggests).
 . "$(dirname "$0")/../r3_lib.sh"
 gate_model base_sim_smoke || exit 0
 SPLIT=test_sim; NTOT=200

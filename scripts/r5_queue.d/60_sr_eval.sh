@@ -13,7 +13,7 @@ if [ -n "$re" ] && [ "$(( re - $(date +%s) ))" -lt 1500 ]; then
 fi
 if [ ! -e data/2d/test_sr.npz ]; then
   wait_for_tpu
-  timeout 1800 python -m wdno_tpu.cli datagen-smoke --out data/2d \
+  timeout 2700 python -m wdno_tpu.cli datagen-smoke --out data/2d \
       --split test_sr --n 10 --start 250 --record_stride 8 --record_res 128 \
       || exit 1
 fi
