@@ -18,8 +18,11 @@ fi
 if [ "$(( DEADLINE_EPOCH - $(date +%s) ))" -lt 1200 ]; then
   echo "[r5] <20 min left for smoke super; skipping"; exit 0
 fi
-# two reservoirs share HBM/refresh budgets, split ~4:1 by row bytes
+# two reservoirs share HBM/refresh budgets, split ~4:1 by row bytes.
+# Refresh sized so the reservoir never freezes inside this run (VERDICT r4
+# weak #3): at 2500 scenes level 0 is ~8 GB total, and the 125 GB host
+# absorbs the tunnel client's ~95%-of-bytes RSS leak at this budget.
 export WDNO_RESERVOIR_GB=${WDNO_RESERVOIR_GB:-6}
-export WDNO_REFRESH_GB=${WDNO_REFRESH_GB:-18}
+export WDNO_REFRESH_GB=${WDNO_REFRESH_GB:-60}
 train_to super_smoke train-smoke --ema_only 300000 --data data/2d \
     --super_model True --condition_control True --n_downsample 2
