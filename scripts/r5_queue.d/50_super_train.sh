@@ -11,7 +11,10 @@ SRC=data/2d/coef_bior1.3_zero_space_train.npz
 [ -e "$SRC" ] || { echo "[r5] no prepped coef levels; skipping"; exit 0; }
 re=$(round_end_epoch)
 if [ -n "$re" ]; then
-  DEADLINE_EPOCH=$(( re - 4200 ))
+  # 50 min tail is enough for the SR-chain eval: scripts/r5_warm.sh
+  # pre-generated test_sr.npz and pre-warmed the sampler/chain compiles,
+  # so stage 60 runs in ~15 min instead of ~50.
+  DEADLINE_EPOCH=$(( re - 3000 ))
 else
   DEADLINE_EPOCH=$(( $(date +%s) + 5400 ))
 fi
