@@ -126,3 +126,33 @@ def test_tap_sum_bf16_v1_vs_v2_tolerance(monkeypatch):
     np.testing.assert_allclose(v1, oracle, atol=0.08)
     np.testing.assert_allclose(v2, oracle, atol=0.08)
     np.testing.assert_allclose(v1, v2, atol=0.08)
+
+
+@pytest.mark.parametrize("fn", ["sum", "pack"])
+def test_vmem_overflow_shapes_fall_back_to_xla(fn):
+    """Shapes whose per-row footprint exceeds the 16 MB scoped-VMEM limit
+    (the super SR chain's level-1 80x80 grids — caught live by the r5 warm
+    run as a Mosaic stack OOM) must route to the XLA path and still match
+    the oracle."""
+    from wdno_tpu.ops.tap_epilogue import _pick_nb, _v1_fits
+
+    rng = np.random.default_rng(3)
+    B, F, H, W, co, kd = 2, 3, 64, 64, 64, 3
+    n = B * F
+    row_in = H * W * kd * co * 4
+    assert _pick_nb(n, row_in) == 0  # v2 block path ruled out
+    assert not _v1_fits(row_in, H * W * co * 4, kd, (kd + 2) * H * W * co * 4)
+    if fn == "sum":
+        y = jnp.asarray(rng.standard_normal((n, H, W, kd * co)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        out = tap_sum(y, bias, kd=kd, co=co, f=F)
+        ref = cp._taps_to_frames(y, kd, co, F) + bias
+    else:
+        g = jnp.asarray(rng.standard_normal((n, H, W, co)), jnp.float32)
+        out = tap_pack(g, kd=kd, co=co, f=F)
+        ctr = kd // 2
+        g5 = g.reshape(B, F, H, W, co)
+        ref = jnp.concatenate(
+            [cp._shift_frames(g5, ctr - dt) for dt in range(kd)], axis=-1
+        ).reshape(n, H, W, kd * co)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -72,6 +72,18 @@ def _pick_nb(n: int, row_bytes: int, budget: int = 13 * 2**20) -> int:
     return 0
 
 
+def _v1_fits(row_bytes_in: int, row_bytes_out: int, kd: int,
+             f32_temps: int, budget: int = 14 * 2**20) -> bool:
+    """Whether the per-row (v1) kernel's scoped-VMEM footprint fits: kd
+    double-buffered input rows + double-buffered output row + f32
+    temporaries.  At the super SR chain's level-1 shapes ([240, 80, 80,
+    192] bf16) this reaches ~22 MB and Mosaic refuses the 16 MB/core
+    limit (caught live by the r5 warm run) — callers then fall back to
+    the XLA slice+add path, which at those sizes is bandwidth-comparable
+    anyway."""
+    return 2 * kd * row_bytes_in + 2 * row_bytes_out + f32_temps <= budget
+
+
 def _block_frame_masks(i, nb: int, f: int):
     """Per-row frame-validity masks for the v2 block kernels, computed from
     the grid index (a ``[nb,3]`` mask *input* would need an illegal TPU
@@ -141,7 +153,15 @@ def tap_sum(y: Array, bias: Optional[Array], *, kd: int, co: int, f: int) -> Arr
     """
     n, h, w, _ = y.shape
     ctr = kd // 2
-    nb = _pick_nb(n, h * w * kd * co * y.dtype.itemsize) if kd == 3 else 0
+    isz = y.dtype.itemsize
+    nb = _pick_nb(n, h * w * kd * co * isz) if kd == 3 else 0
+
+    if not nb and not _v1_fits(h * w * kd * co * isz, h * w * co * isz, kd,
+                               (kd + 2) * h * w * co * 4):
+        from .conv3d_packed import _taps_to_frames
+
+        out = _taps_to_frames(y, kd, co, f)
+        return out if bias is None else out + bias.astype(out.dtype)
 
     if nb:
         in_specs = [
@@ -234,7 +254,17 @@ def tap_pack(g: Array, *, kd: int, co: int, f: int) -> Array:
     """
     n, h, w, _ = g.shape
     ctr = kd // 2
-    nb = _pick_nb(n, h * w * kd * co * g.dtype.itemsize) if kd == 3 else 0
+    isz = g.dtype.itemsize
+    nb = _pick_nb(n, h * w * kd * co * isz) if kd == 3 else 0
+
+    if not nb and not _v1_fits(h * w * co * isz, h * w * kd * co * isz, kd,
+                               2 * kd * h * w * co * 4):
+        from .conv3d_packed import _shift_frames
+
+        g5 = g.reshape(n // f, f, h, w, co)
+        return jnp.concatenate(
+            [_shift_frames(g5, ctr - dt) for dt in range(kd)], axis=-1
+        ).reshape(n, h, w, kd * co)
 
     if nb:
         in_specs = [
