@@ -9,8 +9,17 @@
 . "$(dirname "$0")/../r3_lib.sh"
 [ -e data/2d/train.npz ] && exit 0
 N=2500; PER=500
+re=$(round_end_epoch)
 for ((s = 0; s < N; s += PER)); do
   [ -e "data/2d/train_part${s}.npz" ] && continue
+  # deadline-aware: every generated part is usable, so when the remaining
+  # window no longer covers prep+train+eval tails (~95 min), stop here and
+  # merge what exists rather than starving the training stages
+  if [ -n "$re" ] && [ "$s" -ge "$PER" ] && \
+     [ "$(( re - $(date +%s) ))" -lt 5700 ]; then
+    echo "[r5] datagen cut short at $s scenes (round-end window)"
+    break
+  fi
   wait_for_tpu
   timeout 3600 python -m wdno_tpu.cli datagen-smoke --out data/2d \
       --split train --n $PER --start $s --part \

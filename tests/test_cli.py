@@ -352,7 +352,7 @@ def test_cli_export_import_ckpt_roundtrip(tmp_path):
     main(["import-ckpt", "--results", results, "--exp", "dst", "--npz", npz])
 
     ck = ocp.StandardCheckpointer()
-    src = ck.restore(os.path.join(os.path.abspath(results), "src", "model-2"))
+    src = ck.restore(os.path.join(os.path.abspath(results), "src", "model-4"))
     dst = ck.restore(os.path.join(os.path.abspath(results), "dst", "model-4"))
     assert int(src["step"]) == int(dst["step"]) == 4
     assert json.load(open(os.path.join(results, "dst", "config.json")))["dim"] == 8

@@ -157,11 +157,11 @@ def test_trainer_end_to_end_and_checkpoint(tmp_path):
     metrics = tr.train(12)
     assert np.isfinite(metrics["loss"])
     assert os.path.exists(tmp_path / "metrics.jsonl")
-    assert os.path.exists(tmp_path / "model-1")
+    assert os.path.exists(tmp_path / "model-10")
     w_before = np.asarray(tr.state.params["w"]).copy()
-    # restore milestone 1 (saved at step 10) into a fresh trainer
+    # restore the step-10 milestone into a fresh trainer
     tr2 = Trainer(gd, data_iter(), cfg, params, str(tmp_path), save_every=0)
-    tr2.load(1)
+    tr2.load(10)
     assert int(tr2.state.step) == 10
     assert not np.allclose(np.asarray(tr2.state.params["w"]), w_before) or True
 

@@ -281,7 +281,11 @@ class Trainer:
                 steps_at_log, t0 = i + 1, now
                 self._log(step, last)
             if self.save_every and step % self.save_every == 0:
-                self.save(step // self.save_every, block=False)
+                # milestone name == step (not step//save_every): import-ckpt
+                # writes model-{step}, and "latest"/restore_latest pick the
+                # max numeric name — mixing the two schemes made a resumed
+                # imported experiment prefer its stale import forever
+                self.save(step, block=False)
         if self._tracing:  # num_steps ended inside the trace window
             jax.profiler.stop_trace()
             self._tracing = False
