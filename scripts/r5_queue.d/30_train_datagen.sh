@@ -10,6 +10,13 @@
 [ -e data/2d/train.npz ] && exit 0
 N=2500; PER=500
 re=$(round_end_epoch)
+# whole-stage gate: a training split is only useful if prep (~25 min) and a
+# meaningful train window (~25 min) still fit ahead of the eval/export
+# tails — otherwise skip the smoke-training block entirely
+if [ -n "$re" ] && [ "$(( re - $(date +%s) ))" -lt 7000 ]; then
+  echo "[r5] <117 min left: smoke train-datagen block not worth starting"
+  exit 0
+fi
 for ((s = 0; s < N; s += PER)); do
   [ -e "data/2d/train_part${s}.npz" ] && continue
   # deadline-aware: every generated part is usable, so when the remaining
